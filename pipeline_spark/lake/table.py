@@ -1,0 +1,461 @@
+"""LakeTable — snapshot-versioned, bucketed, LWW-merge parquet table.
+
+Design notes (scale-first):
+
+* Rows are hash-bucketed on the merge key (``pmod(xxhash64(key), n_buckets)``).
+  A MERGE reads **only the buckets the batch touches** and rewrites them
+  (copy-on-write), so merge cost is O(touched data), not O(table) — the
+  same pruning Iceberg gets from bucket partition transforms. At 100 TB,
+  raise ``n_buckets`` so a bucket is a few GB.
+* LWW dedup is a hash aggregation (``max_by`` over the version struct), so
+  Spark performs map-side partial aggregation — hot keys are pre-combined
+  on every input partition before the shuffle, which is the scalable form
+  of "salting" for aggregations. An explicit two-level salted variant is
+  also provided (:func:`pipeline_spark.operators.lww.lww_latest`) and used
+  when the key histogram is extremely skewed.
+* Commits are atomic: metadata JSON written to a temp name then published
+  with ``os.link`` (create-exclusive). Two racing committers → one wins,
+  the other retries against the new snapshot. Readers list ``_meta/`` and
+  load the highest version — they never observe a partial commit.
+* Exactly-once: commit properties carry ``fence.<stream_id> = <batch_id>``.
+  A replayed/retried micro-batch with an already-committed fence id is
+  skipped *before* any work. This is the snapshot-property epoch fencing
+  the north rule asks for (analog of the reference's success-only
+  watermark-file advance, ``clickhouse_feeder.py:159-179``).
+* Schema evolution: fields carry stable ids; add/rename/widen create a new
+  schema version. Data files remember the schema version they were written
+  under; the reader resolves old files to the current schema by field id
+  (rename = metadata-only, widen = cast-on-read, add = null-fill).
+
+Hidden columns persisted in data files (never exposed by ``read()``):
+``_deleted`` (tombstone), ``_vc_epoch`` / ``_vc_offset`` (LWW tie-break).
+The bucket id is *derivable* from the key, so it is stored only as file
+metadata, not as a column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+LINEAGE_DIR = "_lineage"
+
+HIDDEN_DELETED = "_deleted"
+HIDDEN_EPOCH = "_vc_epoch"
+HIDDEN_OFFSET = "_vc_offset"
+HIDDEN_FIELDS = [
+    (HIDDEN_DELETED, "boolean"),
+    (HIDDEN_EPOCH, "long"),
+    (HIDDEN_OFFSET, "long"),
+]
+
+
+class CommitConflict(Exception):
+    pass
+
+
+def _field(fid: int, name: str, typ: str) -> dict:
+    return {"id": fid, "name": name, "type": typ}
+
+
+class LakeTable:
+    """Handle to a lake table rooted at a local/posix directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._meta_cache: dict | None = None
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: list[tuple[str, str]],
+        key: str = "url",
+        version_col: str = "warc_ts",
+        n_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is [(name, spark_ddl_type), ...]."""
+        meta_dir = os.path.join(path, META_DIR)
+        if os.path.exists(meta_dir) and not overwrite:
+            raise FileExistsError(f"table exists at {path}")
+        if overwrite and os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.makedirs(meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, LINEAGE_DIR), exist_ok=True)
+        fields = [_field(i + 1, n, t) for i, (n, t) in enumerate(schema)]
+        meta = {
+            "format_version": 1,
+            "version": 0,
+            "parent": None,
+            "schema_version": 1,
+            "schemas": {"1": fields},
+            "last_field_id": len(fields),
+            "key": key,
+            "version_col": version_col,
+            "n_buckets": n_buckets,
+            "files": [],
+            "properties": {},
+        }
+        t = cls(spark, path)
+        t._publish(meta, expected_version=0)
+        return t
+
+    # ------------------------------------------------------------ metadata
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.path, META_DIR, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        names = [n for n in os.listdir(os.path.join(self.path, META_DIR)) if n.startswith("v") and n.endswith(".json")]
+        if not names:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        return max(int(n[1:9]) for n in names)
+
+    def meta(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(self._meta_path(v)) as f:
+            return json.load(f)
+
+    def _publish(self, meta: dict, expected_version: int) -> None:
+        """Atomic create-exclusive publish of snapshot ``expected_version``."""
+        final = self._meta_path(expected_version)
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # fails with EEXIST on concurrent commit
+        except FileExistsError as e:
+            raise CommitConflict(f"version {expected_version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def properties(self) -> dict:
+        return self.meta().get("properties", {})
+
+    def fence_value(self, stream_id: str) -> int | None:
+        v = self.properties().get(f"fence.{stream_id}")
+        return None if v is None else int(v)
+
+    # ------------------------------------------------------------- schema
+
+    def _schema_fields(self, meta: dict, schema_version: int | None = None) -> list[dict]:
+        sv = schema_version if schema_version is not None else meta["schema_version"]
+        return meta["schemas"][str(sv)]
+
+    def spark_schema(self, with_hidden: bool = False) -> T.StructType:
+        meta = self.meta()
+        fields = self._schema_fields(meta)
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in fields)
+        if with_hidden:
+            ddl += ", " + ", ".join(f"{n} {t}" for n, t in HIDDEN_FIELDS)
+        return T._parse_datatype_string(ddl)
+
+    def _evolve(self, mutate) -> None:
+        """Apply a schema mutation as a new snapshot (metadata-only commit)."""
+        while True:
+            meta = self.meta()
+            new = json.loads(json.dumps(meta))
+            sv = meta["schema_version"] + 1
+            fields = json.loads(json.dumps(self._schema_fields(meta)))
+            mutate(new, fields)
+            new["schemas"][str(sv)] = fields
+            new["schema_version"] = sv
+            new["parent"] = meta["version"]
+            new["version"] = meta["version"] + 1
+            try:
+                self._publish(new, new["version"])
+                return
+            except CommitConflict:
+                continue
+
+    def add_column(self, name: str, typ: str) -> None:
+        def mutate(meta, fields):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name} exists")
+            meta["last_field_id"] += 1
+            fields.append(_field(meta["last_field_id"], name, typ))
+
+        self._evolve(mutate)
+
+    def rename_column(self, old: str, new: str) -> None:
+        def mutate(meta, fields):
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+                    return
+            raise ValueError(f"no column {old}")
+
+        self._evolve(mutate)
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        allowed = {("int", "long"), ("int", "bigint"), ("float", "double"), ("long", "double")}
+
+        def mutate(meta, fields):
+            for f in fields:
+                if f["name"] == name:
+                    if (f["type"], new_type) not in allowed:
+                        raise ValueError(f"widen {f['type']}→{new_type} not allowed")
+                    f["type"] = new_type
+                    return
+            raise ValueError(f"no column {name}")
+
+        self._evolve(mutate)
+
+    # --------------------------------------------------------------- read
+
+    def bucket_expr(self, key_col) -> F.Column:
+        n = self.meta()["n_buckets"]
+        return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
+
+    def _empty(self, with_hidden: bool) -> DataFrame:
+        return self.spark.createDataFrame([], self.spark_schema(with_hidden=with_hidden))
+
+    def scan(self, buckets: set[int] | None = None, with_hidden: bool = False) -> DataFrame:
+        """Current live rows; ``buckets`` prunes data files by key-bucket."""
+        meta = self.meta()
+        cur_fields = self._schema_fields(meta)
+        files = meta["files"]
+        if buckets is not None:
+            files = [f for f in files if f["bucket"] in buckets]
+        if not files:
+            return self._empty(with_hidden)
+
+        # group files by the schema version they were written under; resolve
+        # each group to the current schema by field id (rename/widen/add)
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f["schema_version"], []).append(os.path.join(self.path, f["path"]))
+        parts = []
+        for sv, paths in by_sv.items():
+            old_fields = {f["id"]: f for f in self._schema_fields(meta, sv)}
+            ddl = ", ".join(f"{f['name']} {f['type']}" for f in self._schema_fields(meta, sv))
+            ddl += ", " + ", ".join(f"{n} {t}" for n, t in HIDDEN_FIELDS)
+            df = self.spark.read.schema(T._parse_datatype_string(ddl)).parquet(*paths)
+            cols = []
+            for cf in cur_fields:
+                of = old_fields.get(cf["id"])
+                if of is None:
+                    cols.append(F.lit(None).cast(cf["type"]).alias(cf["name"]))
+                else:
+                    c = F.col(of["name"])
+                    if of["type"] != cf["type"]:
+                        c = c.cast(cf["type"])
+                    cols.append(c.alias(cf["name"]))
+            cols += [F.col(n) for n, _ in HIDDEN_FIELDS]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if not with_hidden:
+            out = out.filter(~F.col(HIDDEN_DELETED)).drop(*[n for n, _ in HIDDEN_FIELDS])
+        return out
+
+    def read(self) -> DataFrame:
+        return self.scan()
+
+    # -------------------------------------------------------------- write
+
+    def _write_data(self, df: DataFrame, schema_version: int) -> list[dict]:
+        """Write rows partitioned by `_b` (bucket); returns file entries."""
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.path, DATA_DIR, f"c-{commit_id}")
+        (df.write.partitionBy("_b").mode("error").parquet(out_dir))
+        entries = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("_b="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(out_dir, bdir, fn)
+                nrows = pq.read_metadata(full).num_rows
+                rel = os.path.relpath(full, self.path)
+                entries.append({"path": rel, "bucket": bucket, "schema_version": schema_version, "rows": nrows})
+        return entries
+
+    def _commit_files(
+        self,
+        base_meta: dict,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        properties: dict[str, str] | None = None,
+        lineage: dict | None = None,
+    ) -> dict:
+        meta = json.loads(json.dumps(base_meta))
+        kept = [f for f in meta["files"] if f["bucket"] not in replaced_buckets]
+        meta["files"] = kept + new_files
+        meta["parent"] = base_meta["version"]
+        meta["version"] = base_meta["version"] + 1
+        if properties:
+            meta["properties"].update(properties)
+        self._publish(meta, meta["version"])
+        if lineage is not None:
+            lineage = dict(lineage, snapshot_id=meta["version"])
+            lp = os.path.join(self.path, LINEAGE_DIR, f"commit-{meta['version']:08d}.json")
+            with open(lp + ".tmp", "w") as f:
+                json.dump(lineage, f)
+            os.rename(lp + ".tmp", lp)
+        self._meta_cache = None
+        return meta
+
+    def lineage_records(self) -> list[dict]:
+        d = os.path.join(self.path, LINEAGE_DIR)
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    # -------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        batch: DataFrame,
+        fence: tuple[str, int] | None = None,
+        extra_lineage: dict | None = None,
+        salt_buckets: int = 0,
+    ) -> dict | None:
+        """LWW MERGE of a CDC batch into the table (copy-on-write by bucket).
+
+        ``batch`` columns: the table's user columns (missing → null-filled,
+        supporting in-flight schema evolution) plus ``op`` ('I'/'U'/'D'),
+        ``epoch``, ``offset``. Rows with NULL key or NULL version column are
+        discarded (reference discard-filter semantics, core.py:1580-1593).
+
+        ``fence=(stream_id, batch_id)``: idempotency guard — if this fence
+        id is already committed the merge is a no-op returning None.
+
+        ``salt_buckets>0`` routes the in-batch LWW dedup through an explicit
+        two-level salted aggregation (hot-key protection); 0 uses single
+        ``max_by`` (map-side partial aggregation handles moderate skew).
+        """
+        from pipeline_spark.operators.lww import lww_latest
+
+        meta = self.meta()
+        if fence is not None:
+            last = self.fence_value(fence[0])
+            if last is not None and fence[1] <= last:
+                return None  # already applied — exactly-once replay skip
+
+        key = meta["key"]
+        vcol = meta["version_col"]
+        cur_fields = self._schema_fields(meta)
+        user_cols = [f["name"] for f in cur_fields]
+        batch_cols = set(batch.columns)
+
+        # stats in one aggregation pass over the raw batch
+        stats_row = batch.agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.when(F.col(key).isNull() | F.col(vcol).isNull(), 1).otherwise(0)).alias("rows_discarded"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_delete_events"),
+            F.min("offset").alias("start_offset"),
+            F.max("offset").alias("end_offset"),
+        ).collect()[0]
+
+        src = batch.filter(F.col(key).isNotNull() & F.col(vcol).isNotNull())
+        proj = []
+        for f in cur_fields:
+            if f["name"] in batch_cols:
+                proj.append(F.col(f["name"]).cast(f["type"]).alias(f["name"]))
+            else:
+                proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        proj += [
+            (F.col("op") == F.lit("D")).alias(HIDDEN_DELETED),
+            F.col("epoch").cast("long").alias(HIDDEN_EPOCH),
+            F.col("offset").cast("long").alias(HIDDEN_OFFSET),
+        ]
+        src = src.select(*proj)
+
+        # 1) in-batch LWW (salted two-level optional)
+        src = lww_latest(src, key=key, order_cols=[vcol, HIDDEN_EPOCH, HIDDEN_OFFSET], salt_buckets=salt_buckets)
+
+        # 2) touched buckets — small driver-side set (≤ n_buckets ints)
+        src = src.withColumn("_b", self.bucket_expr(F.col(key)))
+        touched = {r["_b"] for r in src.select("_b").distinct().collect()}
+        if not touched:
+            # nothing valid in the batch; still advance the fence
+            props = {f"fence.{fence[0]}": str(fence[1])} if fence else None
+            lin = self._lineage_dict(stats_row, 0, 0, extra_lineage)
+            self._commit_files(meta, [], set(), properties=props, lineage=lin)
+            return lin
+
+        # 3) existing rows of touched buckets only (bucket pruning)
+        existing = self.scan(buckets=touched, with_hidden=True).withColumn("_b", self.bucket_expr(F.col(key)))
+
+        # 4) union + LWW again → new bucket contents (tombstones retained so
+        #    late-arriving older versions cannot resurrect deleted keys)
+        merged = lww_latest(
+            existing.unionByName(src),
+            key=key,
+            order_cols=[vcol, HIDDEN_EPOCH, HIDDEN_OFFSET],
+        )
+
+        # 5) write one file per touched bucket (AQE coalesces small ones)
+        merged = merged.repartition(len(touched), F.col("_b"))
+        new_files = self._write_data(merged, meta["schema_version"])
+
+        props = {f"fence.{fence[0]}": str(fence[1])} if fence else None
+        rows_live = sum(f["rows"] for f in new_files)
+        lin = self._lineage_dict(stats_row, rows_live, len(touched), extra_lineage)
+        try:
+            self._commit_files(meta, new_files, touched, properties=props, lineage=lin)
+        except CommitConflict:
+            # concurrent writer won; clean up our orphaned files and re-raise
+            for f in new_files:
+                os.unlink(os.path.join(self.path, f["path"]))
+            raise
+        return lin
+
+    @staticmethod
+    def _lineage_dict(stats_row, rows_live: int, buckets_touched: int, extra: dict | None) -> dict:
+        lin = {
+            "rows_in": stats_row["rows_in"],
+            "rows_discarded": int(stats_row["rows_discarded"] or 0),
+            "rows_delete_events": int(stats_row["rows_delete_events"] or 0),
+            "start_offset": stats_row["start_offset"],
+            "end_offset": stats_row["end_offset"],
+            "rows_live_after": rows_live,
+            "buckets_touched": buckets_touched,
+        }
+        if extra:
+            lin.update(extra)
+        return lin
+
+    # --------------------------------------------------------- maintenance
+
+    def compact(self, target_files_per_bucket: int = 1) -> dict | None:
+        """Rewrite buckets that have more than ``target`` files (small-file
+        compaction — Iceberg ``rewrite_data_files`` analog)."""
+        meta = self.meta()
+        per_bucket: dict[int, int] = {}
+        for f in meta["files"]:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        victims = {b for b, n in per_bucket.items() if n > target_files_per_bucket}
+        if not victims:
+            return None
+        df = self.scan(buckets=victims, with_hidden=True).withColumn(
+            "_b", self.bucket_expr(F.col(meta["key"]))
+        )
+        df = df.repartition(len(victims), F.col("_b"))
+        new_files = self._write_data(df, meta["schema_version"])
+        self._commit_files(meta, new_files, victims, lineage={"action": "compact", "buckets": len(victims)})
+        return {"buckets_compacted": len(victims)}

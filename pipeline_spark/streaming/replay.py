@@ -1,0 +1,89 @@
+"""CDC replay: change-stream files → LWW MERGE into the lake table.
+
+The streaming analog of the reference's batch replay + watermark-file
+protocol (``af/fastpath/fastpath/reprocessor.py`` +
+``af/analysis/analysis/clickhouse_feeder.py:148-179``), Spark-native:
+
+* file source with ``maxFilesPerTrigger`` (backpressure — the 5000-deep
+  queue analog of ``localhttpfeeder.py:38-39``);
+* extraction + LWW + merge per micro-batch in ``foreachBatch``;
+* **exactly-once** = Structured Streaming checkpoint (offset log, so a
+  restarted query re-delivers the same files under the same batch_id)
+  × the table's fence property (so a re-delivered batch_id is a no-op).
+  Either mechanism alone leaves a hole (checkpoint advances before sink
+  commit / sink commit without offset record); together they are the
+  classic idempotent-sink pattern.
+
+Batch mode (``availableNow=True``) and continuous tailing share this one
+code path — the warmup/live unification of the reference detector
+(``detector.py:255,587``) for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from pipeline_spark.datagen import SPARK_DDL
+from pipeline_spark.extraction import with_extracted_text
+from pipeline_spark.lake import LakeTable
+
+
+def replay_stream(
+    spark: SparkSession,
+    source_path: str,
+    table: LakeTable,
+    checkpoint: str,
+    stream_id: str = "cdc",
+    max_files_per_trigger: int | None = None,
+    salt_buckets: int = 0,
+    schema_ddl: str = SPARK_DDL,
+) -> dict:
+    """Replay all available change files into ``table``; returns counters."""
+    reader = spark.readStream.schema(schema_ddl).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_path)
+
+    counters = {"batches": 0, "batches_skipped": 0, "rows_in": 0}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        # derive `text` before the merge so the lake row carries the
+        # extraction invariant (Arrow-vectorized, no per-row Python)
+        enriched = with_extracted_text(batch_df)
+        lin = table.merge(
+            enriched,
+            fence=(stream_id, batch_id),
+            extra_lineage={"batch_id": batch_id, "stream_id": stream_id},
+            salt_buckets=salt_buckets,
+        )
+        if lin is None:
+            counters["batches_skipped"] += 1
+        else:
+            counters["batches"] += 1
+            counters["rows_in"] += lin["rows_in"]
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counters
+
+
+def batch_replay(
+    spark: SparkSession,
+    source_path: str,
+    table: LakeTable,
+    salt_buckets: int = 0,
+    schema_ddl: str = SPARK_DDL,
+) -> dict | None:
+    """One-shot bounded replay (no checkpoint): read everything, one merge.
+
+    The high-throughput path for historical backfills — a single LWW
+    aggregation over the whole stream then one copy-on-write commit,
+    instead of per-epoch micro-batches.
+    """
+    df = spark.read.schema(schema_ddl).option("recursiveFileLookup", "true").parquet(source_path)
+    return table.merge(with_extracted_text(df), salt_buckets=salt_buckets)

@@ -1,0 +1,218 @@
+"""Lake-table MERGE correctness vs the pure-Python LWW oracle, plus
+schema evolution, compaction, lineage, and commit atomicity."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_spark.datagen import SPARK_DDL, StreamSpec, generate_epoch, lww_oracle
+from pipeline_spark.extraction import extract_text_py
+from pipeline_spark.lake import LakeTable
+from pipeline_spark.lake.table import CommitConflict
+
+PAGE_SCHEMA = [
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+
+def make_table(spark, tmp_path, name="t", buckets=8):
+    return LakeTable.create(spark, str(tmp_path / name), PAGE_SCHEMA, key="url", version_col="warc_ts", n_buckets=buckets)
+
+
+def spark_batch(spark, pdf):
+    from pipeline_spark.extraction import with_extracted_text
+
+    df = spark.createDataFrame(pdf[["op", "url", "warc_ts", "html", "lang", "epoch", "offset"]], schema=SPARK_DDL)
+    return with_extracted_text(df)
+
+
+def as_pandas_state(table):
+    rows = table.read().select("url", "warc_ts", "html", "text", "lang").collect()
+    return (
+        pd.DataFrame(
+            [(r.url, r.warc_ts, bytes(r.html) if r.html is not None else None, r.text, r.lang) for r in rows],
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def assert_state_equal(got: pd.DataFrame, exp: pd.DataFrame):
+    assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
+    assert list(got["url"]) == list(exp["url"])
+    for col in ["warc_ts", "html", "text", "lang"]:
+        for i, (g, e) in enumerate(zip(got[col], exp[col])):
+            if pd.isna(e) and (g is None or pd.isna(g)):
+                continue
+            assert g == e, f"{col} mismatch at {exp['url'][i]}: {g!r} != {e!r}"
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return StreamSpec(n_events=6_000, n_urls=250, n_epochs=3)
+
+
+def test_merge_matches_oracle_incremental(spark, tmp_path, spec):
+    """Epoch-by-epoch merge must converge to the same final state as the
+    pure-Python apply — incl. out-of-order, duplicates, deletes, invalids."""
+    t = make_table(spark, tmp_path)
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    for e, pdf in enumerate(pdfs):
+        lin = t.merge(spark_batch(spark, pdf), fence=("s", e))
+        assert lin["rows_in"] == len(pdf)
+    exp = lww_oracle(pdfs, extract_text_py)
+    assert_state_equal(as_pandas_state(t), exp)
+
+
+def test_merge_order_insensitive(spark, tmp_path, spec):
+    """Replaying epochs in reverse order yields the identical final state."""
+    t = make_table(spark, tmp_path, "rev")
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    for pdf in reversed(pdfs):
+        t.merge(spark_batch(spark, pdf))
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+
+def test_salted_merge_same_result(spark, tmp_path, spec):
+    t = make_table(spark, tmp_path, "salted")
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    for pdf in pdfs:
+        t.merge(spark_batch(spark, pdf), salt_buckets=8)
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+
+def test_fence_makes_merge_idempotent(spark, tmp_path, spec):
+    t = make_table(spark, tmp_path, "fence")
+    pdf = generate_epoch(spec, 0)
+    b = spark_batch(spark, pdf)
+    assert t.merge(b, fence=("s", 0)) is not None
+    v1 = t.current_version()
+    assert t.merge(b, fence=("s", 0)) is None  # replayed batch → no-op
+    assert t.merge(b, fence=("s", 0)) is None
+    assert t.current_version() == v1
+    assert_state_equal(as_pandas_state(t), lww_oracle([pdf], extract_text_py))
+
+
+def test_delete_tombstones_survive_late_updates(spark, tmp_path):
+    t = make_table(spark, tmp_path, "tomb")
+    rows = pd.DataFrame(
+        {
+            "op": ["U", "D", "U"],
+            "url": ["u1", "u1", "u1"],
+            "warc_ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:05", "2024-01-01 00:00:03"]),
+            "html": [b"<p>a</p>", None, b"<p>late older</p>"],
+            "lang": ["en", "en", "en"],
+            "epoch": [0, 0, 1],
+            "offset": [0, 1, 0],
+        }
+    )
+    t.merge(spark_batch(spark, rows.iloc[:2]))
+    assert as_pandas_state(t).empty  # delete won
+    t.merge(spark_batch(spark, rows.iloc[2:]))  # older update arrives late
+    assert as_pandas_state(t).empty  # tombstone still wins (no resurrection)
+
+
+def test_lineage_records(spark, tmp_path, spec):
+    t = make_table(spark, tmp_path, "lin")
+    pdf = generate_epoch(spec, 0)
+    t.merge(spark_batch(spark, pdf), fence=("s", 7), extra_lineage={"batch_id": 7})
+    recs = t.lineage_records()
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["rows_in"] == len(pdf)
+    assert r["batch_id"] == 7
+    assert r["snapshot_id"] == t.current_version()
+    assert r["start_offset"] == 0
+    assert r["rows_discarded"] > 0  # generator injects invalid rows
+    assert r["rows_live_after"] >= 1
+
+
+def test_schema_evolution_add_rename_widen(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "evo"),
+        PAGE_SCHEMA + [("fetch_status", "int")],
+        key="url",
+        version_col="warc_ts",
+        n_buckets=4,
+    )
+    base = pd.DataFrame(
+        {
+            "op": ["U"],
+            "url": ["u1"],
+            "warc_ts": pd.to_datetime(["2024-01-01 00:00:01"]),
+            "html": [b"<p>v1</p>"],
+            "lang": ["en"],
+            "epoch": [0],
+            "offset": [0],
+        }
+    )
+    # batch WITHOUT fetch_status (old producer) → null-filled
+    t.merge(spark_batch(spark, base))
+    assert t.read().collect()[0]["fetch_status"] is None
+
+    # column add mid-stream
+    t.add_column("lang2", "string")
+    # column rename: old files resolve by field id
+    t.rename_column("lang", "language")
+    # widen int → long
+    t.widen_column("fetch_status", "long")
+
+    df2 = spark_batch(spark, base.assign(url="u2", offset=1)).withColumn(
+        "fetch_status", F.lit(200).cast("long")
+    ).withColumn("lang2", F.lit("en-US")).withColumnRenamed("lang", "language")
+    t.merge(df2)
+
+    got = {r["url"]: r for r in t.read().collect()}
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"]["language"] == "en"  # pre-rename file, resolved by id
+    assert got["u1"]["lang2"] is None
+    assert got["u2"]["fetch_status"] == 200
+    assert got["u2"]["lang2"] == "en-US"
+    assert dict(t.read().dtypes)["fetch_status"] == "bigint"
+
+
+def test_compaction_reduces_files_preserves_state(spark, tmp_path, spec):
+    t = make_table(spark, tmp_path, "compact", buckets=4)
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    for pdf in pdfs:
+        t.merge(spark_batch(spark, pdf))
+    before = as_pandas_state(t)
+    t.compact()
+    meta = t.meta()
+    per_bucket: dict[int, int] = {}
+    for f in meta["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    assert_state_equal(as_pandas_state(t), before)
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    t = make_table(spark, tmp_path, "conflict")
+    meta = t.meta()
+    t._commit_files(meta, [], set())  # first committer wins
+    with pytest.raises(CommitConflict):
+        t._commit_files(meta, [], set())  # same base → conflict
+
+
+def test_bucket_pruning_scan(spark, tmp_path, spec):
+    """A point-lookup style scan must read only the key's bucket files."""
+    t = make_table(spark, tmp_path, "prune", buckets=8)
+    pdf = generate_epoch(spec, 0)
+    t.merge(spark_batch(spark, pdf))
+    url = lww_oracle([pdf], extract_text_py)["url"].iloc[0]  # a live (non-deleted) key
+    b = t.read().sparkSession.createDataFrame([(url,)], "url string").select(
+        t.bucket_expr(F.col("url")).alias("b")
+    ).collect()[0]["b"]
+    pruned = t.scan(buckets={b})
+    assert pruned.filter(F.col("url") == url).count() == 1
+    n_files_total = len(t.meta()["files"])
+    n_files_bucket = len([f for f in t.meta()["files"] if f["bucket"] == b])
+    assert n_files_bucket < n_files_total

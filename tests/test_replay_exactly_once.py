@@ -1,0 +1,106 @@
+"""Streaming replay: end-state equivalence, kill-and-resume with no
+duplicate or lost upserts (modeled on reference
+tests/test_functional.py:862-876), fence-based idempotency."""
+
+import pandas as pd
+import pytest
+
+from pipeline_spark.datagen import StreamSpec, generate_epoch, lww_oracle, write_change_stream
+from pipeline_spark.extraction import extract_text_py
+from pipeline_spark.lake import LakeTable
+from pipeline_spark.streaming import replay_stream
+from pipeline_spark.streaming.replay import batch_replay
+
+from tests.test_lake_merge import PAGE_SCHEMA, as_pandas_state, assert_state_equal
+
+SPEC = StreamSpec(n_events=4_000, n_urls=200, n_epochs=4)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    write_change_stream(str(d), SPEC)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return lww_oracle([generate_epoch(SPEC, e) for e in range(SPEC.n_epochs)], extract_text_py)
+
+
+def make_table(spark, tmp_path, name):
+    return LakeTable.create(spark, str(tmp_path / name), PAGE_SCHEMA, key="url", version_col="warc_ts", n_buckets=8)
+
+
+def test_streaming_replay_matches_oracle(spark, tmp_path, stream_dir, expected):
+    t = make_table(spark, tmp_path, "full")
+    c = replay_stream(spark, stream_dir, t, checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert c["batches"] == SPEC.n_epochs  # one file per epoch
+    assert_state_equal(as_pandas_state(t), expected)
+    # lineage: one record per micro-batch, offsets + snapshot ids filled
+    recs = [r for r in t.lineage_records() if "batch_id" in r]
+    assert len(recs) == SPEC.n_epochs
+    assert all(r["snapshot_id"] >= 1 and r["rows_in"] > 0 for r in recs)
+
+
+def test_kill_and_resume_no_dup_no_loss(spark, tmp_path, stream_dir, expected):
+    """Stop after the first micro-batch, restart from checkpoint → same
+    final state; re-running a third time is a complete no-op."""
+    t = make_table(spark, tmp_path, "resume")
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    # phase 1: process exactly one micro-batch then "crash"
+    from pipeline_spark.datagen import SPARK_DDL
+    from pipeline_spark.extraction import with_extracted_text
+
+    stream = (
+        spark.readStream.schema(SPARK_DDL)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    seen = {"n": 0}
+
+    def one_batch(df, batch_id):
+        if seen["n"] >= 1:
+            raise RuntimeError("simulated crash")
+        t.merge(with_extracted_text(df), fence=("cdc", batch_id))
+        seen["n"] += 1
+
+    q = stream.writeStream.foreachBatch(one_batch).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    v_after_crash = t.current_version()
+    assert v_after_crash >= 1
+
+    # phase 2: resume from the same checkpoint — picks up remaining epochs,
+    # re-delivered batches are fenced out
+    c = replay_stream(spark, stream_dir, t, checkpoint=ckpt, max_files_per_trigger=1)
+    assert_state_equal(as_pandas_state(t), expected)
+
+    # phase 3: full rerun over the same checkpoint → nothing new
+    v_final = t.current_version()
+    c2 = replay_stream(spark, stream_dir, t, checkpoint=ckpt, max_files_per_trigger=1)
+    assert c2["batches"] == 0
+    assert t.current_version() == v_final
+    assert_state_equal(as_pandas_state(t), expected)
+
+
+def test_fresh_checkpoint_replay_is_fenced_by_epoch(spark, tmp_path, stream_dir, expected):
+    """Even with a *lost* checkpoint, re-delivered batch ids ≤ fence are
+    skipped — the commit-property guard, not the offset log, is the last
+    line of defense."""
+    t = make_table(spark, tmp_path, "fenced")
+    replay_stream(spark, stream_dir, t, checkpoint=str(tmp_path / "c1"), max_files_per_trigger=1)
+    v1 = t.current_version()
+    c = replay_stream(spark, stream_dir, t, checkpoint=str(tmp_path / "c2"), max_files_per_trigger=1)
+    assert c["batches"] == 0 and c["batches_skipped"] == SPEC.n_epochs
+    assert t.current_version() == v1
+    assert_state_equal(as_pandas_state(t), expected)
+
+
+def test_batch_replay_one_shot(spark, tmp_path, stream_dir, expected):
+    t = make_table(spark, tmp_path, "oneshot")
+    lin = batch_replay(spark, stream_dir, t, salt_buckets=8)
+    assert lin["rows_in"] > 0
+    assert_state_equal(as_pandas_state(t), expected)
