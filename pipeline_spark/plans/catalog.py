@@ -1,0 +1,742 @@
+"""Query catalog — every implemented operator exposed as a named query over
+the driver test tables, paired with a DuckDB oracle (SURVEY.md §2 mapping).
+
+Conventions that make the value-hash compare deterministic:
+* every computed column is aliased identically in Spark and SQL;
+* double aggregates are ``round(x, N)`` on both sides;
+* DuckDB integer sums are cast to BIGINT (DuckDB sums to HUGEINT);
+* top-k queries order by (metric, id) so ties cannot reorder between
+  engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pipeline_spark.operators import dedup as D
+from pipeline_spark.operators import similarity as S
+from pipeline_spark.operators import text as X
+from pipeline_spark.operators.lww import dedup_first_wins, lww_latest
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def reg(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return reg
+
+
+# =====================================================================
+# Relational core (SURVEY §2.5 joins, §2.6 aggregations, §2.8 set ops)
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3(spark, sf):
+    cutoff = "1997-06-01"
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_supplier_volume_by_nation",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q5(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@q(
+    "q6_filtered_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+    """,
+)
+def q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@q(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join(spark, sf):
+    # O4: WHERE NOT EXISTS → left_anti (reference 006-reingestion.install.sql:24-31)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "semi_join_active_segments",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_active
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@q(
+    "union_dedup_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def union_dedup(spark, sf):
+    # O3: SQL UNION semantics = union + dropDuplicates (reference detector.py:111)
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).dropDuplicates()
+
+
+@q(
+    "coalesce_override_join",
+    """
+    SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+)
+def coalesce_join(spark, sf):
+    # J5: COALESCE(label.x, m.x, default) manual-override pattern
+    e = _t(spark, sf, "events")
+    c = _t(spark, sf, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@q(
+    "union_heterogeneous_sources",
+    """
+    SELECT src, CAST(count(*) AS BIGINT) AS n, min(t) AS min_t FROM (
+      SELECT 'orders' AS src, o_orderkey AS id, o_orderdate AS t FROM orders
+      UNION ALL
+      SELECT 'events' AS src, event_id AS id, ts AS t FROM events
+    ) GROUP BY src
+    """,
+)
+def union_hetero(spark, sf):
+    # J4: UNION of differently-shaped sources after projection alignment
+    o = _t(spark, sf, "orders").select(
+        F.lit("orders").alias("src"), F.col("o_orderkey").alias("id"), F.col("o_orderdate").alias("t")
+    )
+    e = _t(spark, sf, "events").select(
+        F.lit("events").alias("src"), F.col("event_id").alias("id"), F.col("ts").alias("t")
+    )
+    return o.unionByName(e).groupBy("src").agg(F.count(F.lit(1)).alias("n"), F.min("t").alias("min_t"))
+
+
+# =====================================================================
+# Aggregation family (A1-A4, rollup hierarchy, windows W4/W6)
+# =====================================================================
+
+@q(
+    "counters_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS event_count,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def counters_rollup(spark, sf):
+    # A1: conditional-sum roll-up (reference 017-ooexpl_wc_input_counts.install.sql:5-24)
+    e = _t(spark, sf, "events")
+    return e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "two_level_distinct_agg",
+    """
+    SELECT day, CAST(sum(CASE WHEN any_high THEN 1 ELSE 0 END) AS BIGINT) AS n_users_high,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM (
+      SELECT CAST(ts AS DATE) AS day, user_id, max(value > 90) AS any_high
+      FROM events GROUP BY 1, 2
+    ) GROUP BY day
+    """,
+)
+def two_level(spark, sf):
+    # A2: inner per-(day,user) bool_or, outer per-day conditional sum
+    e = _t(spark, sf, "events")
+    inner = e.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
+        F.max(F.col("value") > 90).alias("any_high")
+    )
+    return inner.groupBy("day").agg(
+        F.sum(F.when(F.col("any_high"), 1).otherwise(0)).alias("n_users_high"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@q(
+    "global_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           min(CAST(ts AS DATE)) AS first_day, max(CAST(ts AS DATE)) AS last_day
+    FROM events
+    """,
+)
+def global_stats(spark, sf):
+    # A3: global matview-style summary (reference database_upgrade_schema.py:124-192)
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+
+
+@q(
+    "rollup_hierarchy",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY ROLLUP(event_type, user_id % 10)
+    """,
+)
+def rollup_hier(spark, sf):
+    # the reference's manual counters/counters_asn_noinput/counters_noinput
+    # hierarchy (database_upgrade_schema.py:85-122) in ONE rollup pass
+    e = _t(spark, sf, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    return e.rollup("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT event_type, event_id, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
+    """,
+)
+def topk(spark, sf):
+    # W4: top-K recent feed analog (reference detector.py:637,683)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value")
+    )
+
+
+@q(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS running_value
+    FROM events
+    """,
+)
+def running_sum(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return e.select("event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value"))
+
+
+@q(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events)
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ→epoch (session TZ pinned UTC)
+    gap = secs - F.lag(secs).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@q(
+    "late_shipment_flags",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def late_flags(spark, sf):
+    # P17 analog: interval arithmetic + flagging (reference core.py:1541-1559)
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")).agg(
+        F.sum(
+            F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1).otherwise(0)
+        ).alias("n_late"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# =====================================================================
+# CDC semantics as queries (A8/A9) + scalar transforms (P-family)
+# =====================================================================
+
+@q(
+    "cdc_lww_state",
+    """
+    SELECT user_id, ts AS last_ts, event_type AS last_type, round(value, 2) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def cdc_lww(spark, sf):
+    # A9 — the engine's central LWW operator applied to the events stream
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_type", "value", "event_id")
+    latest = lww_latest(e, key="user_id", order_cols=["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@q(
+    "dedup_first_wins",
+    """
+    SELECT user_id, ts AS first_ts, event_type AS first_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+    """,
+)
+def first_wins(spark, sf):
+    # A8 — seen_uids first-wins dedup (reference reprocessor.py:287-298)
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_type", "event_id")
+    first = dedup_first_wins(e, key="user_id", order_cols=["ts", "event_id"])
+    return first.select("user_id", F.col("ts").alias("first_ts"), F.col("event_type").alias("first_type"))
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props(spark, sf):
+    # P1 analog: semi-structured payload field extraction
+    e = _t(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+@q(
+    "domain_extract",
+    """
+    SELECT regexp_extract('https://' || source || '.example.com/d/' || doc_id,
+                          '^[a-z]+://([^/]+)', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def domain_extract(spark, sf):
+    # P5: urlparse(input).netloc (reference db.py:32-42) via parse_url
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"), F.col("doc_id"))
+    return d.select(F.parse_url(url, F.lit("HOST")).alias("domain")).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "exact_dedup_events_payload",
+    """
+    SELECT md5(props) AS payload_md5, CAST(min(event_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM events GROUP BY 1
+    """,
+)
+def exact_dedup_q(spark, sf):
+    e = _t(spark, sf, "events").withColumnRenamed("props", "text").withColumnRenamed("event_id", "doc_id")
+    out = D.exact_dedup(e, text_col="text", id_col="doc_id")
+    return out.select(F.col("text_md5").alias("payload_md5"), "keep_id", "dup_count")
+
+
+# =====================================================================
+# Text analysis / dedup / similarity (training-data pipeline operators)
+# =====================================================================
+
+_WORDS_SQL = (
+    "list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), w -> w <> '')"
+)
+
+@q(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 6) AS avg_word_len,
+           round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(text), 6) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '{X.TOKEN_RE}')) AS BIGINT) AS n_tokens
+    FROM t WHERE len(w) > 0 AND len(text) > 0
+    """,
+)
+def text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    feats = X.quality_features(d, "text")
+    return feats.filter((F.col("n_words") > 0) & (F.col("n_chars_measured") > 0)).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@q(
+    "lang_id_heuristic",
+    f"""
+    SELECT {X.lang_id_sql('text')} AS lang_detected, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def lang_id_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(X.lang_id(F.col("text")).alias("lang_detected")).groupBy("lang_detected").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w,
+                tok -> CAST(len(tok) * 17 + ascii(substr(tok, 1, 1)) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fingerprint
+    FROM t WHERE len(w) > 0
+    """,
+)
+def doc_fp(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", X.doc_fingerprint(F.col("text")).alias("fingerprint")).filter(
+        F.col("fingerprint").isNotNull()
+    )
+
+
+@q(
+    "word_jaccard_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE doc_id < 100),
+    sh AS (SELECT DISTINCT doc_id, unnest(w) AS s FROM docs),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+    """,
+)
+def word_jaccard(spark, sf):
+    # exact n-gram (n=1) Jaccard — the oracle-checkable dedup path
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return D.ngram_jaccard_pairs(d, threshold=0.6, n=1)
+
+
+@q("minhash_lsh_pairs", None)  # xxhash64 has no DuckDB twin → rows-only check
+def minhash_pairs(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return D.minhash_dedup_pairs(d, threshold=0.6, bands=8, rows=4, n=1)
+
+
+@q("simhash_near_dups", None)  # md5-bit simhash UDF → rows-only check
+def simhash_q(spark, sf):
+    from pipeline_spark.functions import simhash64_udf
+
+    d = _t(spark, sf, "documents").select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+    return D.simhash_near_dup_pairs(d, max_hamming=16)
+
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(range(len(qe)), i -> CAST(qe[i+1] AS DOUBLE) * CAST(ce[i+1] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(len(qe)), i -> CAST(qe[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(len(ce)), i -> CAST(ce[i+1] AS DOUBLE) * CAST(ce[i+1] AS DOUBLE))))) AS cos_sim
+  FROM q, c WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs) WHERE rank <= 5
+"""
+
+@q("embedding_topk_bruteforce", _COS_SQL)
+def emb_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@q("embedding_ann_lsh", None)  # approximate by design → rows-only; recall tested in pytest
+def emb_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_ann_topk(emb, queries, k=5, n_planes=4, n_tables=4)
+
+
+@q(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(len(a.embedding)),
+                   i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+                   i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(len(b.embedding)),
+                   i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+           , 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.5
+    """,
+)
+def emb_near_dup(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    return S.embedding_near_dup_pairs(emb, threshold=0.5)
+
+
+@q(
+    "weighted_sample_deterministic",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               ORDER BY power(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                              1.0 / n_chars) DESC, doc_id) AS rnk
+      FROM documents WHERE n_chars > 0)
+    WHERE rnk <= 20
+    """,
+)
+def weighted_sample_q(spark, sf):
+    # W6: weighted reservoir (Chao) → deterministic A-ExpJ equivalent
+    from pipeline_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    return weighted_sample(d, k=20, weight_col="n_chars", id_col="doc_id").select("doc_id", "lang")
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'application/octet-stream' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           1 + (ascii(substr(text, 1, 1)) % 64) AS width
+    FROM documents WHERE len(text) > 0
+    """,
+)
+def multimodal_q(spark, sf):
+    # binary-column plumbing: encode text as the opaque payload, run the
+    # mapInPandas metadata extractor, compare the deterministic fields
+    from pipeline_spark.operators.multimodal import extract_media_meta
+
+    d = _t(spark, sf, "documents").filter(F.length("text") > 0).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = extract_media_meta(d, "payload")
+    return out.select("doc_id", "media_type", "byte_len", "width")
+
+
+@q("ewma_change_detection", None)  # ordered stateful fold → rows-only check
+def ewma_q(spark, sf):
+    from pipeline_spark.operators.detector import ewma_final_means
+
+    e = _t(spark, sf, "events").select(
+        "event_type", "ts", (F.col("value") / 100.0).alias("value"), "event_id"
+    )
+    return ewma_final_means(e, keys=["event_type"], ts_col="ts", value_col="value")
+
+
+@q("cdc_replay_final_state", None)  # full engine path → checked in pytest vs oracle
+def cdc_replay_q(spark, sf):
+    """Flagship: generate a deterministic CDC stream sized to the SF, replay
+    it through the lake-table MERGE path, return the final live state."""
+    import os
+    import tempfile
+
+    from pipeline_spark.datagen import StreamSpec, write_change_stream
+    from pipeline_spark.lake import LakeTable
+    from pipeline_spark.streaming.replay import batch_replay
+
+    n = 20_000 if "0.1" not in sf.rstrip("/")[-5:] else 100_000
+    spec = StreamSpec(n_events=n, n_urls=max(200, n // 40), n_epochs=4)
+    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    stream = os.path.join(work, "stream")
+    write_change_stream(stream, spec)
+    t = LakeTable.create(
+        spark,
+        os.path.join(work, "pages"),
+        [("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"), ("text", "string"), ("lang", "string")],
+        key="url",
+        version_col="warc_ts",
+        n_buckets=16,
+    )
+    batch_replay(spark, stream, t, salt_buckets=8)
+    return t.read().select("url", "warc_ts", F.md5(F.col("text")).alias("text_md5"), "lang")
+
+
+# =====================================================================
+# public accessors
+# =====================================================================
+
+def query_map():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql_map():
+    return {name: sql.strip() for name, (_, sql) in QUERIES.items() if sql is not None}

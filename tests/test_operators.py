@@ -1,0 +1,145 @@
+"""Operator-level unit tests with inline golden values — the reference's
+test strategy (SURVEY.md §5.1): pure operator, known input, exact output."""
+
+import hashlib
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_spark.operators import dedup as D
+from pipeline_spark.operators import similarity as S
+from pipeline_spark.operators.detector import ALPHA, detect_changes_batch, ewma_final_means
+from pipeline_spark.operators.lww import lww_latest
+from pipeline_spark.operators.multimodal import extract_media_meta
+
+
+# ---------------------------------------------------------------- dedup
+
+def _docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 0
+        (2, "one two three four five six seven eight"),
+        (3, "one two three four five six seven eight"),  # exact dup of 2
+        (4, "completely different words entirely unrelated text here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup(_docs(spark)).collect()}
+    assert out[2] == 2  # docs 2,3 identical → kept id 2
+    assert out[0] == 1 and out[1] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1).collect()}
+    assert out[(2, 3)] == 1.0
+    assert out[(0, 1)] == pytest.approx(7 / 9)  # |∩|=7, |∪|=9
+    assert (0, 4) not in out
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup_pairs(_docs(spark), threshold=0.5, bands=8, rows=2, n=1).collect()}
+    assert (2, 3) in pairs  # identical docs always collide
+    assert (0, 1) in pairs  # jaccard 0.78 → P(collision) ≈ 1 at b=8,r=2
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_simhash_hamming_locality(spark):
+    from pipeline_spark.functions import simhash64_udf
+
+    d = _docs(spark).select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+    sims = {r["doc_id"]: r["simhash"] for r in d.collect()}
+    assert sims[2] == sims[3]  # identical text → identical simhash
+    ham = bin((sims[0] ^ sims[1]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sims[0] ^ sims[4]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far  # near-dup closer in Hamming space
+
+
+# ------------------------------------------------------------ similarity
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, qs, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in S.lsh_ann_topk(emb, qs, k=5, n_planes=4, n_tables=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_cosine_golden(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    got = [r[0] for r in df.select(S.cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+
+
+# -------------------------------------------------------------- detector
+
+def test_ewma_golden_series(spark):
+    """Hand-checkable fold: constant x=1 crosses upper=0.1 at n=6 because
+    mean_n = 1-(0.98**n): 0.98**5=0.9039→0.0961<0.1, 0.98**6→0.1141>0.1."""
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(seconds=i), 1.0, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double, event_id long")
+    changes = detect_changes_batch(df, keys=["event_type"], ts_col="ts", value_col="value").collect()
+    assert len(changes) == 1
+    assert changes[0]["blocked"] is True
+    assert changes[0]["ts"] == datetime(2024, 1, 1, 0, 0, 5)  # 6th point (0-indexed 5)
+    assert changes[0]["mean"] == pytest.approx(1 - 0.98**6)
+
+    final = ewma_final_means(df, keys=["event_type"], ts_col="ts", value_col="value").collect()[0]
+    assert final["mean"] == pytest.approx(1 - 0.98**10)
+    assert final["blocked"] is True and final["n"] == 10
+
+
+def test_ewma_hysteresis_unblocks(spark):
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(seconds=i), 1.0 if i < 10 else 0.0, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double, event_id long")
+    changes = sorted(detect_changes_batch(df, ["event_type"]).collect(), key=lambda r: r["ts"])
+    assert [c["blocked"] for c in changes] == [True, False]  # flip on, then clear below 0.05
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_media_meta_plumbing(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\nrest-of-png"),
+        (2, b"\xff\xd8\xff\xe0jpegdata"),
+        (3, b"plain text bytes"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in extract_media_meta(df, "payload").collect()}
+    assert out[1]["media_type"] == "image/png" and out[1]["byte_len"] == 19
+    assert out[2]["media_type"] == "image/jpeg"
+    assert out[3]["media_type"] == "application/octet-stream"
+    assert out[4]["media_type"] is None and out[4]["byte_len"] is None
+    assert out[1]["width"] == 1 + 0x89 % 64 and len(out[1]["feature"]) == 4
+
+
+# -------------------------------------------------------------- functions
+
+def test_trivial_id_matches_hashlib(spark):
+    from pipeline_spark.functions import trivial_id_udf
+
+    df = spark.createDataFrame([("20240101", b"hello")], "day string, raw binary")
+    got = df.select(trivial_id_udf("day", "raw").alias("tid")).collect()[0]["tid"]
+    assert got == "01" + "20240101" + hashlib.shake_128(b"hello").hexdigest(15)
+
+
+def test_lww_salted_equals_unsalted(spark):
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    rows = [(f"k{rs.randint(5)}", int(rs.randint(100)), int(i), float(rs.rand())) for i in range(500)]
+    df = spark.createDataFrame(rows, "key string, v long, off long, x double")
+    a = {r["key"]: (r["v"], r["off"]) for r in lww_latest(df, "key", ["v", "off"]).collect()}
+    b = {r["key"]: (r["v"], r["off"]) for r in lww_latest(df, "key", ["v", "off"], salt_buckets=8).collect()}
+    assert a == b
