@@ -60,6 +60,7 @@ class StreamSpec:
     delete_fraction: float = 0.02  # op = 'D'
     edge_fraction: float = 0.01  # crafted html edge cases
     big_body_every: int = 50_000  # one >1MiB body per this many events (0=off)
+    body_paras: int = 1  # filler <p> paragraphs per body (sizes the page)
 
 
 def _zipf_probs(n: int, s: float) -> np.ndarray:
@@ -112,12 +113,17 @@ def generate_epoch(spec: StreamSpec, epoch: int) -> pd.DataFrame:
         elif spec.big_body_every and seq[i] % spec.big_body_every == spec.big_body_every - 1:
             html.append(b"<p>" + (b"big chunk of body text " * 50_000) + b"</p>")  # ~1.2 MiB
         else:
+            filler = "".join(
+                f"<p>paragraph {j} of page {url_ids[i]} rev {rev[i]} with <b>markup</b> "
+                f"and some body text that resembles a crawled web page &amp; more</p>"
+                for j in range(spec.body_paras)
+            )
             html.append(
                 (
                     f"<html><head><title>page {url_ids[i]}</title>"
                     f"<style>p {{color: red}}</style></head>"
                     f"<body><h1>Page {url_ids[i]}</h1>"
-                    f"<p>revision {rev[i]} of page {url_ids[i]} &amp; content</p>"
+                    f"<p>revision {rev[i]} of page {url_ids[i]} &amp; content</p>{filler}"
                     f"<script>track({rev[i]});</script></body></html>"
                 ).encode()
             )
@@ -165,7 +171,9 @@ def write_change_stream(path: str, spec: StreamSpec) -> list[str]:
         os.makedirs(d, exist_ok=True)
         pdf = generate_epoch(spec, e)
         table = pa.Table.from_pandas(pdf[["op", "url", "warc_ts", "html", "lang", "epoch", "offset"]], schema=ARROW_SCHEMA, preserve_index=False)
-        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+        # small row groups so Spark's scan parallelizes WITHIN a file
+        # (a single-row-group file caps the scan at one task per file)
+        pq.write_table(table, os.path.join(d, "part-00000.parquet"), row_group_size=8192)
         dirs.append(d)
     return dirs
 

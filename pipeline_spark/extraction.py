@@ -44,12 +44,14 @@ _ENTITIES = {
 _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
 
 # Ordered regex pipeline applied after decode. Each stage is (pattern,
-# replacement). DOTALL so script/style bodies spanning lines are removed.
+# replacement). Stages are fused where order-independent so each row is
+# copied as few times as possible (every pass reallocates the string):
+# script/style blocks, comments and bare tags are one alternation — at any
+# '<' the block branches are tried before the generic tag, which is
+# exactly the sequential-pass semantics.
 _PIPELINE: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\x00"), ""),  # NUL strip — normalize.py:177 semantics
-    (re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"), " "),
-    (re.compile(r"(?s)<!--.*?-->"), " "),
-    (re.compile(r"(?s)<[^>]*>"), " "),  # tag strip
+    (re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->|<[^>]*>"), " "),
     (re.compile(r"[ \t\r\f\v]*\n[ \t\r\f\v]*"), "\n"),  # fold blanks around newlines
     (re.compile(r"[ \t\f\v]{2,}"), " "),  # collapse runs of spaces/tabs
     (re.compile(r"\n{3,}"), "\n\n"),  # cap blank lines

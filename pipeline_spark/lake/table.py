@@ -277,19 +277,28 @@ class LakeTable:
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, DATA_DIR, f"c-{commit_id}")
         (df.write.partitionBy("_b").mode("error").parquet(out_dir))
-        entries = []
+        todo = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("_b="):
                 continue
             bucket = int(bdir.split("=")[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(out_dir, bdir, fn)
-                nrows = pq.read_metadata(full).num_rows
-                rel = os.path.relpath(full, self.path)
-                entries.append({"path": rel, "bucket": bucket, "schema_version": schema_version, "rows": nrows})
-        return entries
+                if fn.endswith(".parquet"):
+                    todo.append((bucket, os.path.join(out_dir, bdir, fn)))
+
+        def entry(item):
+            bucket, full = item
+            return {
+                "path": os.path.relpath(full, self.path),
+                "bucket": bucket,
+                "schema_version": schema_version,
+                "rows": pq.read_metadata(full).num_rows,
+            }
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return list(ex.map(entry, todo))
 
     def _commit_files(
         self,
@@ -333,6 +342,7 @@ class LakeTable:
         fence: tuple[str, int] | None = None,
         extra_lineage: dict | None = None,
         salt_buckets: int = 0,
+        post_merge=None,
     ) -> dict | None:
         """LWW MERGE of a CDC batch into the table (copy-on-write by bucket).
 
@@ -347,8 +357,15 @@ class LakeTable:
         ``salt_buckets>0`` routes the in-batch LWW dedup through an explicit
         two-level salted aggregation (hot-key protection); 0 uses single
         ``max_by`` (map-side partial aggregation handles moderate skew).
+
+        ``post_merge``: optional DataFrame→DataFrame transform applied to
+        the merged rows just before the write — the hook for derived
+        columns that only need computing on *winning* rows (e.g. HTML→text
+        extraction runs on the post-LWW survivors, not on every event;
+        at high duplicate/update rates this cuts UDF work by orders of
+        magnitude). Must preserve the table schema.
         """
-        from pipeline_spark.operators.lww import lww_latest
+        from pipeline_spark.operators.lww import lww_latest_semi
 
         meta = self.meta()
         if fence is not None:
@@ -359,19 +376,28 @@ class LakeTable:
         key = meta["key"]
         vcol = meta["version_col"]
         cur_fields = self._schema_fields(meta)
-        user_cols = [f["name"] for f in cur_fields]
         batch_cols = set(batch.columns)
+        valid = F.col(key).isNotNull() & F.col(vcol).isNotNull()
 
-        # stats in one aggregation pass over the raw batch
+        # one pass over the raw batch: merge stats + touched-bucket set
         stats_row = batch.agg(
             F.count(F.lit(1)).alias("rows_in"),
             F.sum(F.when(F.col(key).isNull() | F.col(vcol).isNull(), 1).otherwise(0)).alias("rows_discarded"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_delete_events"),
             F.min("offset").alias("start_offset"),
             F.max("offset").alias("end_offset"),
+            F.collect_set(F.when(valid, self.bucket_expr(F.col(key)))).alias("touched"),
         ).collect()[0]
+        touched = set(stats_row["touched"] or [])
 
-        src = batch.filter(F.col(key).isNotNull() & F.col(vcol).isNotNull())
+        if not touched:
+            # nothing valid in the batch; still advance the fence
+            props = {f"fence.{fence[0]}": str(fence[1])} if fence else None
+            lin = self._lineage_dict(stats_row, 0, 0, extra_lineage)
+            self._commit_files(meta, [], set(), properties=props, lineage=lin)
+            return lin
+
+        src = batch.filter(valid)
         proj = []
         for f in cur_fields:
             if f["name"] in batch_cols:
@@ -385,31 +411,35 @@ class LakeTable:
         ]
         src = src.select(*proj)
 
-        # 1) in-batch LWW (salted two-level optional)
-        src = lww_latest(src, key=key, order_cols=[vcol, HIDDEN_EPOCH, HIDDEN_OFFSET], salt_buckets=salt_buckets)
+        # LWW winner per key over (existing ∪ batch) via NARROW argmax +
+        # broadcast semi-join-back (lww_latest_semi):
+        #   * the aggregation sees only (key, version, epoch, offset, side)
+        #     — ~60 B/row. An aggregation over the full row would be
+        #     catastrophic: max_by with a multi-KB payload struct makes
+        #     Spark's ObjectHashAggregate fall back to SORT-BASED
+        #     aggregation (fallback threshold 128 keys/partition), i.e. an
+        #     external sort of the html payloads — measured 10-30× slower;
+        #   * the multi-KB payload is then filtered in place by a broadcast
+        #     semi-join — it is never shuffled or sorted at all.
+        # Sound because (epoch, offset) is the stream's total order →
+        # (key, version, epoch, offset, side) is unique per row. `_side`
+        # disambiguates an existing row and a batch row carrying the SAME
+        # event (unfenced re-apply): the existing row wins, keeping its
+        # already-derived columns (extracted text).
+        # salt_buckets>0 opts into the explicit two-level salted NARROW
+        # argmax (pathological in-partition skew path — payload still
+        # never shuffled).
+        order_cols = [vcol, HIDDEN_EPOCH, HIDDEN_OFFSET]
+        existing = self.scan(buckets=touched, with_hidden=True)
+        unioned = existing.withColumn("_side", F.lit(1)).unionByName(src.withColumn("_side", F.lit(0)))
+        merged = lww_latest_semi(
+            unioned, key=key, order_cols=[*order_cols, "_side"], salt_buckets=salt_buckets
+        ).drop("_side")
+        merged = merged.withColumn("_b", self.bucket_expr(F.col(key)))
+        if post_merge is not None:
+            merged = post_merge(merged)
 
-        # 2) touched buckets — small driver-side set (≤ n_buckets ints)
-        src = src.withColumn("_b", self.bucket_expr(F.col(key)))
-        touched = {r["_b"] for r in src.select("_b").distinct().collect()}
-        if not touched:
-            # nothing valid in the batch; still advance the fence
-            props = {f"fence.{fence[0]}": str(fence[1])} if fence else None
-            lin = self._lineage_dict(stats_row, 0, 0, extra_lineage)
-            self._commit_files(meta, [], set(), properties=props, lineage=lin)
-            return lin
-
-        # 3) existing rows of touched buckets only (bucket pruning)
-        existing = self.scan(buckets=touched, with_hidden=True).withColumn("_b", self.bucket_expr(F.col(key)))
-
-        # 4) union + LWW again → new bucket contents (tombstones retained so
-        #    late-arriving older versions cannot resurrect deleted keys)
-        merged = lww_latest(
-            existing.unionByName(src),
-            key=key,
-            order_cols=[vcol, HIDDEN_EPOCH, HIDDEN_OFFSET],
-        )
-
-        # 5) write one file per touched bucket (AQE coalesces small ones)
+        # 4) write one file per touched bucket (AQE coalesces small ones)
         merged = merged.repartition(len(touched), F.col("_b"))
         new_files = self._write_data(merged, meta["schema_version"])
 

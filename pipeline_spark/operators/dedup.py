@@ -103,16 +103,18 @@ def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 8, rows: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """LSH banding: docs agreeing on all ``rows`` hashes of any band become
-    a candidate pair. One shuffle keyed on (band, band-signature)."""
+    a candidate pair. Band signatures are built as ONE array column and
+    ``posexplode``d — a single evaluation of the (expensive) signature
+    plan, vs a union of per-band scans that would recompute it ``bands``
+    times. One shuffle keyed on (band, band-signature)."""
     k = bands * rows
     assert all(f"mh{i}" in sigs.columns for i in range(k)), "need mh0..mh{k-1}"
-    band_rows = []
-    for b in range(bands):
-        sig = F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        band_rows.append(sigs.select(F.col(id_col), F.lit(b).alias("band"), sig.alias("bsig")))
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    band_arr = F.array(
+        *[F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]) for b in range(bands)]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bsig")
+    ).localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -132,12 +134,28 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Full MinHash-LSH pipeline: candidates from banding, verified with
-    exact Jaccard (so the output is exact given the candidate set)."""
+    """Full MinHash-LSH pipeline: candidates from banding, then exact
+    Jaccard computed ONLY for the candidate pairs (semi-join pruned) — the
+    verify cost is O(candidates × shingles), never O(docs²)."""
     sigs = minhash_signatures(df, bands * rows, text_col, id_col, n)
     cand = lsh_candidate_pairs(sigs, bands, rows, id_col)
-    exact = ngram_jaccard_pairs(df, threshold, text_col, id_col, n)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_b = sh.withColumnRenamed(id_col, "_jb").withColumnRenamed("shingle", "s_b")
+    inter = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingle", "s_a"), "id_a")
+        .join(sh_b, (F.col("id_b") == F.col("_jb")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_near_dup_pairs(

@@ -51,6 +51,47 @@ def lww_latest(
     return _reduce(df, keys)
 
 
+def lww_latest_semi(
+    df: DataFrame,
+    key: str | list[str],
+    order_cols: list[str],
+    broadcast_winners: bool = True,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """LWW keep-newest that never shuffles payload columns.
+
+    Two phases:
+    1. *narrow argmax*: aggregate only ``(key, order_cols)`` — tens of
+       bytes per row — to find each key's winning version (map-side
+       partial aggregation applies, so hot keys pre-combine);
+    2. *semi-join back*: filter the original rows to the winning
+       ``(key, *order_cols)`` tuples. With ``broadcast_winners`` the winner
+       keyset broadcasts, so the (possibly multi-KB-per-row) payload side
+       is filtered IN PLACE — zero payload shuffle.
+
+    Requires ``(key, *order_cols)`` to be unique per row (a total order —
+    guaranteed here by the (version, epoch, offset) tie-break). For
+    micro-batches whose winner keyset would exceed broadcast limits, pass
+    ``broadcast_winners=False`` to let AQE pick the join strategy.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    narrow = df.select(*keys, *order_cols)
+    if salt_buckets and salt_buckets > 1:
+        # two-level salted narrow argmax: hot keys split across reducers
+        salted = narrow.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
+        )
+        lvl1 = salted.groupBy(*keys, "_salt").agg(F.max(ord_struct).alias("_w"))
+        win = lvl1.groupBy(*keys).agg(F.max("_w").alias("_w"))
+    else:
+        win = narrow.groupBy(*keys).agg(F.max(ord_struct).alias("_w"))
+    win = win.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in order_cols])
+    if broadcast_winners:
+        win = F.broadcast(win)
+    return df.join(win, on=keys + order_cols, how="left_semi")
+
+
 def dedup_first_wins(df: DataFrame, key: str | list[str], order_cols: list[str]) -> DataFrame:
     """Keep the *earliest* row per key (reference ``seen_uids`` replay dedup,
     ``reprocessor.py:287-298``) — min_by mirror of :func:`lww_latest`."""

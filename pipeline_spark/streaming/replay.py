@@ -23,9 +23,19 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from pyspark.sql import functions as F
+
 from pipeline_spark.datagen import SPARK_DDL
-from pipeline_spark.extraction import with_extracted_text
+from pipeline_spark.extraction import extract_text_udf
 from pipeline_spark.lake import LakeTable
+
+
+def fill_text(df):
+    """Derive ``text`` for rows that don't carry it yet (post-LWW hook:
+    extraction runs only on merge *winners*, not on every change event —
+    the dominant throughput lever at high update rates)."""
+    need = F.col("text").isNull() & F.col("html").isNotNull()
+    return df.withColumn("text", F.when(need, extract_text_udf(F.col("html"))).otherwise(F.col("text")))
 
 
 def replay_stream(
@@ -37,8 +47,18 @@ def replay_stream(
     max_files_per_trigger: int | None = None,
     salt_buckets: int = 0,
     schema_ddl: str = SPARK_DDL,
+    extract: str = "winners",
 ) -> dict:
-    """Replay all available change files into ``table``; returns counters."""
+    """Replay all available change files into ``table``; returns counters.
+
+    ``extract``:
+      * ``"winners"`` (default) — derive ``text`` only for post-LWW
+        surviving rows (latest-state consumers; minimal UDF work);
+      * ``"eager"`` — derive ``text`` for EVERY change event before the
+        merge (consumers that read every revision's text; the
+        transform-stage-dominant profile).
+    """
+    assert extract in ("winners", "eager")
     reader = spark.readStream.schema(schema_ddl).option("recursiveFileLookup", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -47,14 +67,14 @@ def replay_stream(
     counters = {"batches": 0, "batches_skipped": 0, "rows_in": 0}
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        # derive `text` before the merge so the lake row carries the
-        # extraction invariant (Arrow-vectorized, no per-row Python)
-        enriched = with_extracted_text(batch_df)
+        if extract == "eager":
+            batch_df = batch_df.withColumn("text", extract_text_udf(F.col("html")))
         lin = table.merge(
-            enriched,
+            batch_df,
             fence=(stream_id, batch_id),
             extra_lineage={"batch_id": batch_id, "stream_id": stream_id},
             salt_buckets=salt_buckets,
+            post_merge=None if extract == "eager" else fill_text,
         )
         if lin is None:
             counters["batches_skipped"] += 1
@@ -86,4 +106,4 @@ def batch_replay(
     instead of per-epoch micro-batches.
     """
     df = spark.read.schema(schema_ddl).option("recursiveFileLookup", "true").parquet(source_path)
-    return table.merge(with_extracted_text(df), salt_buckets=salt_buckets)
+    return table.merge(df, salt_buckets=salt_buckets, post_merge=fill_text)

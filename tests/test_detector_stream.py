@@ -1,0 +1,65 @@
+"""Streaming EWMA: state carried across micro-batches must reproduce the
+batch fold exactly (warmup/live unification)."""
+
+import os
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pipeline_spark.operators.detector import detect_changes_batch
+from pipeline_spark.streaming.detector_stream import detect_changes_stream
+
+SCHEMA_DDL = "key string, ts timestamp, value double"
+
+
+def _write_batches(path):
+    """Two files → two micro-batches; flip happens in the second."""
+    base = datetime(2024, 1, 1)
+    rows1 = [("k", base + timedelta(seconds=i), 1.0) for i in range(4)]
+    rows2 = [("k", base + timedelta(seconds=4 + i), 1.0) for i in range(6)]
+    for i, rows in enumerate([rows1, rows2]):
+        t = pa.table(
+            {
+                "key": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": [r[2] for r in rows],
+            }
+        )
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(t, os.path.join(path, f"b{i}.parquet"))
+
+
+def test_stream_matches_batch_fold(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batches(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = detect_changes_stream(stream, "key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_changes")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ewma_changes").collect()
+
+    # batch equivalent over the concatenated history
+    df = spark.read.schema(SCHEMA_DDL).parquet(src).withColumnRenamed("key", "event_type")
+    exp = detect_changes_batch(df, keys=["event_type"], ts_col="ts", value_col="value").collect()
+
+    assert len(got) == len(exp) == 1
+    assert got[0]["ts"] == exp[0]["ts"]
+    assert got[0]["mean"] == pytest.approx(exp[0]["mean"])
+    assert got[0]["blocked"] is True
+    # the flip is at the 6th point even though it spans two micro-batches:
+    # state crossed the batch boundary
+    assert got[0]["ts"] == datetime(2024, 1, 1, 0, 0, 5)
