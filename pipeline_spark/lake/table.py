@@ -227,9 +227,17 @@ class LakeTable:
     def _empty(self, with_hidden: bool) -> DataFrame:
         return self.spark.createDataFrame([], self.spark_schema(with_hidden=with_hidden))
 
-    def scan(self, buckets: set[int] | None = None, with_hidden: bool = False) -> DataFrame:
-        """Current live rows; ``buckets`` prunes data files by key-bucket."""
-        meta = self.meta()
+    def scan(
+        self,
+        buckets: set[int] | None = None,
+        with_hidden: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Rows of snapshot ``version`` (default: current); ``buckets``
+        prunes data files by key-bucket. Time travel = reading an older
+        snapshot's file list (files are immutable; old snapshots stay
+        readable until :meth:`expire_snapshots` removes them)."""
+        meta = self.meta(version)
         cur_fields = self._schema_fields(meta)
         files = meta["files"]
         if buckets is not None:
@@ -471,6 +479,37 @@ class LakeTable:
         return lin
 
     # --------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Delete metadata of all but the newest ``keep_last`` snapshots and
+        any data file no retained snapshot references (Iceberg
+        ``expire_snapshots`` analog). Time travel to expired versions stops
+        working; the current snapshot is never touched."""
+        cur = self.current_version()
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            referenced |= {f["path"] for f in self.meta(v)["files"]}
+        removed_files = 0
+        all_versions = sorted(
+            int(n[1:9]) for n in os.listdir(os.path.join(self.path, META_DIR)) if n.startswith("v") and n.endswith(".json")
+        )
+        for v in all_versions:
+            if v in keep_versions:
+                continue
+            for f in self.meta(v)["files"]:
+                full = os.path.join(self.path, f["path"])
+                if f["path"] not in referenced and os.path.exists(full):
+                    os.unlink(full)
+                    removed_files += 1
+            os.unlink(self._meta_path(v))
+        # empty commit dirs left behind are harmless; sweep them anyway
+        data_root = os.path.join(self.path, DATA_DIR)
+        for d in os.listdir(data_root):
+            for sub in list(os.walk(os.path.join(data_root, d), topdown=False)):
+                if not sub[1] and not sub[2]:
+                    os.rmdir(sub[0])
+        return {"snapshots_removed": len(all_versions) - len(keep_versions & set(all_versions)), "files_removed": removed_files}
 
     def compact(self, target_files_per_bucket: int = 1) -> dict | None:
         """Rewrite buckets that have more than ``target`` files (small-file

@@ -740,3 +740,79 @@ def query_map():
 
 def oracle_sql_map():
     return {name: sql.strip() for name, (_, sql) in QUERIES.items() if sql is not None}
+
+
+# =====================================================================
+# Fingerprint containment join (J2/C17) + nested-array ops (A5/A6)
+# =====================================================================
+
+_FINGERPRINTS = [
+    ("fp_scan", "scan"),
+    ("fp_merge", "merge"),
+    ("fp_window", "window"),
+    ("fp_absent", "zzqx-never-present"),
+]
+
+@q(
+    "fingerprint_body_match",
+    f"""
+    SELECT fp_id,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents, (VALUES {', '.join(f"('{i}','{p}')" for i, p in _FINGERPRINTS)}) fp(fp_id, pattern)
+    WHERE instr(lower(text), pattern) > 0
+    GROUP BY fp_id
+    """,
+)
+def fingerprint_match(spark, sf):
+    """The reference's flagship matching operator (core.py:317-348):
+    substring-containment theta-join of bodies against a small fingerprint
+    dim — broadcast nested-loop, the only sane strategy for contains()."""
+    d = _t(spark, sf, "documents")
+    fps = spark.createDataFrame(_FINGERPRINTS, "fp_id string, pattern string")
+    return (
+        d.crossJoin(F.broadcast(fps))
+        .filter(F.instr(F.lower(F.col("text")), F.col("pattern")) > 0)
+        .groupBy("fp_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@q(
+    "nested_array_tally",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           round(max(value), 2) AS max_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def nested_tally(spark, sf):
+    """A5/A6: tallies INSIDE a nested array (size/filter/array_max) —
+    the array is built with collect_list so the nested operators are the
+    thing under test; the oracle states the equivalent flat aggregation."""
+    from pipeline_spark.operators.nested import endpoint_tally, nested_max
+
+    e = _t(spark, sf, "events")
+    arr = e.groupBy("user_id").agg(
+        F.collect_list(F.struct(F.col("event_type"), F.col("value"))).alias("evs")
+    )
+    return arr.select(
+        "user_id",
+        endpoint_tally(F.col("evs"), lambda x: x["value"] > 50).cast("long").alias("n_high"),
+        F.round(nested_max(F.col("evs"), "value"), 2).alias("max_value"),
+        F.size("evs").cast("long").alias("n_events"),
+    )
+
+
+@q("trivial_id_rows", None)  # shake_128 has no SQL twin → rows-only check
+def trivial_id_q(spark, sf):
+    """P8: deterministic sortable row id (reference utils.py:1692-1711)."""
+    from pipeline_spark.functions import trivial_id_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        trivial_id_udf(F.lit("20240101"), F.encode(F.col("text"), "UTF-8")).alias("trivial_id"),
+    )

@@ -216,3 +216,25 @@ def test_bucket_pruning_scan(spark, tmp_path, spec):
     n_files_total = len(t.meta()["files"])
     n_files_bucket = len([f for f in t.meta()["files"] if f["bucket"] == b])
     assert n_files_bucket < n_files_total
+
+
+def test_time_travel_and_expiry(spark, tmp_path, spec):
+    t = make_table(spark, tmp_path, "tt")
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    counts = []
+    for pdf in pdfs:
+        t.merge(spark_batch(spark, pdf))
+        counts.append(t.read().count())
+    v = t.current_version()
+    # time travel: each snapshot's count preserved
+    assert t.scan(version=v - 1).count() == counts[-2]
+    assert t.scan(version=v - 2).count() == counts[-3]
+    # expiry keeps newest, removes old snapshots + unreferenced files
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] >= 2 and stats["files_removed"] > 0
+    assert t.read().count() == counts[-1]  # current state intact
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        t.meta(v - 1)
