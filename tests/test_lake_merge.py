@@ -238,3 +238,38 @@ def test_time_travel_and_expiry(spark, tmp_path, spec):
 
     with _pt.raises(FileNotFoundError):
         t.meta(v - 1)
+
+
+def test_changelog_incremental_read(spark, tmp_path, spec):
+    """table.changes(since) must equal the oracle diff of final states:
+    keys whose winning version changed between the snapshots."""
+    t = make_table(spark, tmp_path, "chg")
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    t.merge(spark_batch(spark, pdfs[0]))
+    v1 = t.current_version()
+    for pdf in pdfs[1:]:
+        t.merge(spark_batch(spark, pdf))
+
+    delta = t.changes(v1)
+    rows = delta.collect()
+    got_keys = {r["url"] for r in rows}
+    got_del = {r["url"] for r in rows if r["_change_type"] == "delete"}
+
+    # oracle: winner tuple per url at v1 vs final (tombstones included)
+    def winners(ps):
+        s = {}
+        for pdf in ps:
+            for r in pdf.itertuples(index=False):
+                if r.url is None or pd.isna(r.warc_ts):
+                    continue
+                k = (r.warc_ts, r.epoch, r.offset)
+                if r.url not in s or k > s[r.url][0]:
+                    s[r.url] = (k, r.op)
+        return s
+    w1, wf = winners(pdfs[:1]), winners(pdfs)
+    exp_changed = {u for u, (k, op) in wf.items() if u not in w1 or w1[u][0] != k}
+    exp_del = {u for u, (k, op) in wf.items() if u in exp_changed and op == "D"}
+    assert got_keys == exp_changed
+    assert got_del == exp_del
+    # empty delta when nothing changed
+    assert t.changes(t.current_version()).count() == 0
