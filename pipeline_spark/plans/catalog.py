@@ -734,8 +734,22 @@ def cdc_replay_q(spark, sf):
 # public accessors
 # =====================================================================
 
+def _session_guard(fn):
+    """Pin the runtime confs the oracle compare depends on, whatever
+    session the driver hands us (UTC timestamps, Arrow path, small Arrow
+    batches for binary payloads). All are runtime-settable."""
+
+    def wrapped(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def query_map():
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    return {name: _session_guard(fn) for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql_map():
