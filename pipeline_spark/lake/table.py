@@ -3,11 +3,24 @@
 Design notes (scale-first):
 
 * Rows are hash-bucketed on the merge key (``pmod(xxhash64(key), n_buckets)``).
-  A MERGE reads **only the buckets the batch touches** and rewrites them
-  (copy-on-write), so merge cost is O(touched data), not O(table) — the
-  same pruning Iceberg gets from bucket partition transforms. At 100 TB,
-  raise ``n_buckets`` so a bucket is a few GB.
-* LWW dedup is a hash aggregation (``max_by`` over the version struct), so
+  Data files are either **base** (compacted, ≤1 LWW winner per key) or
+  **delta** (one commit's batch winners). At 100 TB, raise ``n_buckets``
+  so a bucket is a few GB.
+* MERGE is **merge-on-read**: a micro-batch commits only its own in-batch
+  LWW winners as per-bucket delta files — the existing table is neither
+  read nor rewritten, so write amplification is O(batch), not O(table)
+  (copy-on-write rewrote every touched bucket per micro-batch, which at
+  Zipf-skewed keys meant rewriting essentially the whole table each
+  batch — the measured cause of sub-linear replay scaling in round 1).
+  The analog of ReplacingMergeTree's cheap insert + lazy background merge
+  (reference ``af/fastpath/fastpath/db.py:82-84``).
+* ``scan()`` resolves LWW over base+deltas at read time: only keys present
+  in deltas need resolution, so the resolve is a *narrow* argmax over
+  (delta keys ∪ their base rows) — payload columns are filtered in place
+  by a size-gated broadcast of the winner tuples and never shuffle.
+  ``compact()`` folds deltas into base lazily (maintenance, off the
+  ingest critical path).
+* LWW dedup is a hash aggregation (``max`` over the version struct), so
   Spark performs map-side partial aggregation — hot keys are pre-combined
   on every input partition before the shuffle, which is the scalable form
   of "salting" for aggregations. An explicit two-level salted variant is
@@ -28,7 +41,10 @@ Design notes (scale-first):
   (rename = metadata-only, widen = cast-on-read, add = null-fill).
 
 Hidden columns persisted in data files (never exposed by ``read()``):
-``_deleted`` (tombstone), ``_vc_epoch`` / ``_vc_offset`` (LWW tie-break).
+``_deleted`` (tombstone), ``_vc_epoch`` / ``_vc_offset`` (LWW tie-break),
+``_vc_seq`` (commit sequence — breaks *exact* (version, epoch, offset)
+ties deterministically in favor of the EARLIER commit, so an unfenced
+re-apply of the same event never displaces the already-derived row).
 The bucket id is *derivable* from the key, so it is stored only as file
 metadata, not as a column.
 """
@@ -50,10 +66,12 @@ LINEAGE_DIR = "_lineage"
 HIDDEN_DELETED = "_deleted"
 HIDDEN_EPOCH = "_vc_epoch"
 HIDDEN_OFFSET = "_vc_offset"
+HIDDEN_SEQ = "_vc_seq"
 HIDDEN_FIELDS = [
     (HIDDEN_DELETED, "boolean"),
     (HIDDEN_EPOCH, "long"),
     (HIDDEN_OFFSET, "long"),
+    (HIDDEN_SEQ, "long"),
 ]
 
 
@@ -224,29 +242,25 @@ class LakeTable:
         n = self.meta()["n_buckets"]
         return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
 
-    def _empty(self, with_hidden: bool) -> DataFrame:
-        return self.spark.createDataFrame([], self.spark_schema(with_hidden=with_hidden))
+    def _empty(self, with_hidden: bool, meta: dict | None = None) -> DataFrame:
+        """Empty DataFrame with the schema of ``meta``'s snapshot (not
+        necessarily the current one — a time-travel scan that prunes to
+        zero files must still surface that snapshot's columns)."""
+        m = self.meta() if meta is None else meta
+        fields = self._schema_fields(m)
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in fields)
+        if with_hidden:
+            ddl += ", " + ", ".join(f"{n} {t}" for n, t in HIDDEN_FIELDS)
+        return self.spark.createDataFrame([], T._parse_datatype_string(ddl))
 
-    def scan(
-        self,
-        buckets: set[int] | None = None,
-        with_hidden: bool = False,
-        version: int | None = None,
-    ) -> DataFrame:
-        """Rows of snapshot ``version`` (default: current); ``buckets``
-        prunes data files by key-bucket. Time travel = reading an older
-        snapshot's file list (files are immutable; old snapshots stay
-        readable until :meth:`expire_snapshots` removes them)."""
-        meta = self.meta(version)
+    def _read_files(self, meta: dict, files: list[dict]) -> DataFrame:
+        """Read raw rows of ``files`` resolved to ``meta``'s current schema.
+
+        Files are grouped by the schema version they were written under;
+        each group resolves to the current schema by field id (rename =
+        metadata-only, widen = cast-on-read, add = null-fill). Hidden
+        columns are always included."""
         cur_fields = self._schema_fields(meta)
-        files = meta["files"]
-        if buckets is not None:
-            files = [f for f in files if f["bucket"] in buckets]
-        if not files:
-            return self._empty(with_hidden)
-
-        # group files by the schema version they were written under; resolve
-        # each group to the current schema by field id (rename/widen/add)
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(f["schema_version"], []).append(os.path.join(self.path, f["path"]))
@@ -271,6 +285,97 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        return out
+
+    #: broadcast the merge-on-read resolve state only while the delta row
+    #: count (a free upper bound on distinct delta keys, from file
+    #: metadata) stays small; above it, plain joins + AQE decide.
+    AUTO_BROADCAST_DELTA_ROWS = 4_000_000
+
+    def _resolve_mor(self, meta: dict, base_files: list[dict], delta_files: list[dict]) -> DataFrame:
+        """Merge-on-read LWW resolution over base + delta files.
+
+        Only keys present in deltas can have competing rows, so:
+
+        1. narrow-read the delta keys (column-pruned parquet scan);
+        2. narrow argmax of (version, epoch, offset, -seq) over delta rows
+           ∪ the base rows sharing a delta key → one winner tuple per
+           contested key (map-side combined; ~60 B/row);
+        3. one pass over the full payload rows: broadcast-left-join the
+           winner tuples on key and keep a row iff its key is uncontested
+           or it IS the winner. Payload columns never shuffle.
+
+        The broadcasts are size-gated on the delta row count known from
+        file metadata (zero extra jobs); large backlogs fall back to
+        shuffled joins, and ``compact()`` folds them away.
+        """
+        key, vcol = meta["key"], meta["version_col"]
+        delta = self._read_files(meta, delta_files)
+        small = sum(f["rows"] for f in delta_files) <= self.AUTO_BROADCAST_DELTA_ROWS
+        narrow_cols = [key, vcol, HIDDEN_EPOCH, HIDDEN_OFFSET, HIDDEN_SEQ]
+        cand = delta.select(*narrow_cols)
+        if base_files:
+            base = self._read_files(meta, base_files)
+            dkeys = delta.select(key).distinct()
+            if small:
+                dkeys = F.broadcast(dkeys)
+            cand = base.select(*narrow_cols).join(dkeys, on=key, how="left_semi").unionByName(cand)
+            full = base.unionByName(delta)
+        else:
+            full = delta
+        # -seq in the max struct → on an exact (vcol, epoch, offset) tie
+        # (unfenced re-apply of the same event) the EARLIEST commit wins,
+        # preserving its already-derived columns.
+        ord_struct = F.struct(
+            F.col(vcol),
+            F.col(HIDDEN_EPOCH),
+            F.col(HIDDEN_OFFSET),
+            (-F.col(HIDDEN_SEQ)).alias("_ns"),
+        )
+        win = (
+            cand.groupBy(key)
+            .agg(F.max(ord_struct).alias("_w"))
+            .select(
+                F.col(key).alias("_wk"),
+                F.col(f"_w.{vcol}").alias("_wv"),
+                F.col(f"_w.{HIDDEN_EPOCH}").alias("_we"),
+                F.col(f"_w.{HIDDEN_OFFSET}").alias("_wo"),
+                (-F.col("_w._ns")).alias("_ws"),
+            )
+        )
+        if small:
+            win = F.broadcast(win)
+        j = full.join(win, F.col(key) == F.col("_wk"), "left")
+        keep = F.col("_wk").isNull() | (
+            (F.col(vcol) == F.col("_wv"))
+            & (F.col(HIDDEN_EPOCH) == F.col("_we"))
+            & (F.col(HIDDEN_OFFSET) == F.col("_wo"))
+            & (F.col(HIDDEN_SEQ) == F.col("_ws"))
+        )
+        return j.filter(keep).drop("_wk", "_wv", "_we", "_wo", "_ws")
+
+    def scan(
+        self,
+        buckets: set[int] | None = None,
+        with_hidden: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """LWW-resolved rows of snapshot ``version`` (default: current);
+        ``buckets`` prunes data files by key-bucket. Time travel = reading
+        an older snapshot's file list (files are immutable; old snapshots
+        stay readable until :meth:`expire_snapshots` removes them)."""
+        meta = self.meta(version)
+        files = meta["files"]
+        if buckets is not None:
+            files = [f for f in files if f["bucket"] in buckets]
+        if not files:
+            return self._empty(with_hidden, meta)
+        base_files = [f for f in files if f.get("kind", "base") == "base"]
+        delta_files = [f for f in files if f.get("kind", "base") != "base"]
+        if delta_files:
+            out = self._resolve_mor(meta, base_files, delta_files)
+        else:
+            out = self._read_files(meta, base_files)
         if not with_hidden:
             out = out.filter(~F.col(HIDDEN_DELETED)).drop(*[n for n, _ in HIDDEN_FIELDS])
         return out
@@ -280,7 +385,7 @@ class LakeTable:
 
     # -------------------------------------------------------------- write
 
-    def _write_data(self, df: DataFrame, schema_version: int) -> list[dict]:
+    def _write_data(self, df: DataFrame, schema_version: int, kind: str = "base") -> list[dict]:
         """Write rows partitioned by `_b` (bucket); returns file entries."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, DATA_DIR, f"c-{commit_id}")
@@ -301,6 +406,7 @@ class LakeTable:
                 "bucket": bucket,
                 "schema_version": schema_version,
                 "rows": pq.read_metadata(full).num_rows,
+                "kind": kind,
             }
 
         from concurrent.futures import ThreadPoolExecutor
@@ -351,8 +457,17 @@ class LakeTable:
         extra_lineage: dict | None = None,
         salt_buckets: int = 0,
         post_merge=None,
+        broadcast_winners: bool | str = True,
     ) -> dict | None:
-        """LWW MERGE of a CDC batch into the table (copy-on-write by bucket).
+        """LWW MERGE of a CDC batch into the table (merge-on-read).
+
+        Commits only the batch's own in-batch LWW winners as per-bucket
+        **delta files** — the existing table is neither read nor rewritten,
+        so merge cost is O(batch) regardless of table size. Readers resolve
+        LWW over base+deltas (:meth:`scan`); :meth:`compact` folds deltas
+        into base lazily. The whole merge is ONE Spark job (the write; the
+        winner broadcast build is a stage of it) — merge stats ride along
+        via ``DataFrame.observe`` instead of a separate aggregation job.
 
         ``batch`` columns: the table's user columns (missing → null-filled,
         supporting in-flight schema evolution) plus ``op`` ('I'/'U'/'D'),
@@ -363,17 +478,27 @@ class LakeTable:
         id is already committed the merge is a no-op returning None.
 
         ``salt_buckets>0`` routes the in-batch LWW dedup through an explicit
-        two-level salted aggregation (hot-key protection); 0 uses single
-        ``max_by`` (map-side partial aggregation handles moderate skew).
+        two-level salted aggregation (hot-key protection); 0 uses a single
+        narrow argmax (map-side partial aggregation handles moderate skew).
+
+        ``broadcast_winners``: join-strategy size gate for the winner
+        keyset (see :func:`pipeline_spark.operators.lww.lww_latest_semi`).
+        ``True`` (default) fits bounded micro-batches; pass ``"auto"`` or
+        ``False`` for unbounded historical backfills whose winner set may
+        exceed broadcast limits.
 
         ``post_merge``: optional DataFrame→DataFrame transform applied to
-        the merged rows just before the write — the hook for derived
+        the winning rows just before the write — the hook for derived
         columns that only need computing on *winning* rows (e.g. HTML→text
         extraction runs on the post-LWW survivors, not on every event;
         at high duplicate/update rates this cuts UDF work by orders of
-        magnitude). Must preserve the table schema.
+        magnitude). Must preserve the table schema. It runs AFTER the
+        bucket repartition, so the expensive UDF output streams straight
+        into the parquet encoder and never crosses a shuffle.
         """
-        from pipeline_spark.operators.lww import lww_latest_semi
+        from pyspark.sql import Observation
+
+        from pipeline_spark.operators.lww import AUTO_BROADCAST_MAX_WINNERS, narrow_winners
 
         meta = self.meta()
         if fence is not None:
@@ -383,29 +508,24 @@ class LakeTable:
 
         key = meta["key"]
         vcol = meta["version_col"]
+        seq = meta["version"] + 1  # commit sequence for exact-tie resolution
         cur_fields = self._schema_fields(meta)
         batch_cols = set(batch.columns)
         valid = F.col(key).isNotNull() & F.col(vcol).isNotNull()
 
-        # one pass over the raw batch: merge stats + touched-bucket set
-        stats_row = batch.agg(
+        # Merge stats are observed on the PROBE branch only (the build
+        # branch below re-reads `batch` without the CollectMetrics node, so
+        # nothing double-counts), and materialize with the write job.
+        obs = Observation()
+        observed = batch.observe(
+            obs,
             F.count(F.lit(1)).alias("rows_in"),
             F.sum(F.when(F.col(key).isNull() | F.col(vcol).isNull(), 1).otherwise(0)).alias("rows_discarded"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_delete_events"),
             F.min("offset").alias("start_offset"),
             F.max("offset").alias("end_offset"),
-            F.collect_set(F.when(valid, self.bucket_expr(F.col(key)))).alias("touched"),
-        ).collect()[0]
-        touched = set(stats_row["touched"] or [])
+        )
 
-        if not touched:
-            # nothing valid in the batch; still advance the fence
-            props = {f"fence.{fence[0]}": str(fence[1])} if fence else None
-            lin = self._lineage_dict(stats_row, 0, 0, extra_lineage)
-            self._commit_files(meta, [], set(), properties=props, lineage=lin)
-            return lin
-
-        src = batch.filter(valid)
         proj = []
         for f in cur_fields:
             if f["name"] in batch_cols:
@@ -416,46 +536,56 @@ class LakeTable:
             (F.col("op") == F.lit("D")).alias(HIDDEN_DELETED),
             F.col("epoch").cast("long").alias(HIDDEN_EPOCH),
             F.col("offset").cast("long").alias(HIDDEN_OFFSET),
+            F.lit(seq).cast("long").alias(HIDDEN_SEQ),
         ]
-        src = src.select(*proj)
+        src = observed.filter(valid).select(*proj)
 
-        # LWW winner per key over (existing ∪ batch) via NARROW argmax +
-        # broadcast semi-join-back (lww_latest_semi):
-        #   * the aggregation sees only (key, version, epoch, offset, side)
-        #     — ~60 B/row. An aggregation over the full row would be
+        # In-batch LWW winner per key via NARROW argmax + semi-join-back:
+        #   * the aggregation sees only (key, version, epoch, offset) —
+        #     ~60 B/row. An aggregation over the full row would be
         #     catastrophic: max_by with a multi-KB payload struct makes
         #     Spark's ObjectHashAggregate fall back to SORT-BASED
         #     aggregation (fallback threshold 128 keys/partition), i.e. an
         #     external sort of the html payloads — measured 10-30× slower;
-        #   * the multi-KB payload is then filtered in place by a broadcast
-        #     semi-join — it is never shuffled or sorted at all.
+        #   * the multi-KB payload is then filtered in place by the
+        #     (size-gated broadcast) semi-join — never shuffled or sorted.
         # Sound because (epoch, offset) is the stream's total order →
-        # (key, version, epoch, offset, side) is unique per row. `_side`
-        # disambiguates an existing row and a batch row carrying the SAME
-        # event (unfenced re-apply): the existing row wins, keeping its
-        # already-derived columns (extracted text).
-        # salt_buckets>0 opts into the explicit two-level salted NARROW
-        # argmax (pathological in-partition skew path — payload still
-        # never shuffled).
+        # (key, version, epoch, offset) is unique per row within a stream.
         order_cols = [vcol, HIDDEN_EPOCH, HIDDEN_OFFSET]
-        existing = self.scan(buckets=touched, with_hidden=True)
-        unioned = existing.withColumn("_side", F.lit(1)).unionByName(src.withColumn("_side", F.lit(0)))
-        merged = lww_latest_semi(
-            unioned, key=key, order_cols=[*order_cols, "_side"], salt_buckets=salt_buckets
-        ).drop("_side")
+        types = {f["name"]: f["type"] for f in cur_fields}
+        narrow_src = batch.filter(valid).select(
+            F.col(key).cast(types[key]).alias(key),
+            F.col(vcol).cast(types[vcol]).alias(vcol),
+            F.col("epoch").cast("long").alias(HIDDEN_EPOCH),
+            F.col("offset").cast("long").alias(HIDDEN_OFFSET),
+        )
+        win = narrow_winners(narrow_src, [key], order_cols, salt_buckets=salt_buckets)
+        if broadcast_winners == "auto":
+            win = win.localCheckpoint(eager=True)
+            do_broadcast = win.count() <= AUTO_BROADCAST_MAX_WINNERS
+        else:
+            do_broadcast = bool(broadcast_winners)
+        if do_broadcast:
+            win = F.broadcast(win)
+        merged = src.join(win, on=[key, *order_cols], how="left_semi")
+
+        # bucket-route BEFORE the derived-column hook: the shuffle moves
+        # only raw batch winners (html, no text), and the expensive UDF
+        # runs inside the write stage at n_buckets-task parallelism.
         merged = merged.withColumn("_b", self.bucket_expr(F.col(key)))
+        merged = merged.repartition(meta["n_buckets"], F.col("_b"))
         if post_merge is not None:
             merged = post_merge(merged)
 
-        # 4) write one file per touched bucket (AQE coalesces small ones)
-        merged = merged.repartition(len(touched), F.col("_b"))
-        new_files = self._write_data(merged, meta["schema_version"])
+        new_files = self._write_data(merged, meta["schema_version"], kind="delta")
+        stats = obs.get
+        touched = {f["bucket"] for f in new_files}
 
         props = {f"fence.{fence[0]}": str(fence[1])} if fence else None
-        rows_live = sum(f["rows"] for f in new_files)
-        lin = self._lineage_dict(stats_row, rows_live, len(touched), extra_lineage)
+        rows_written = sum(f["rows"] for f in new_files)
+        lin = self._lineage_dict(stats, rows_written, len(touched), extra_lineage)
         try:
-            self._commit_files(meta, new_files, touched, properties=props, lineage=lin)
+            self._commit_files(meta, new_files, set(), properties=props, lineage=lin)
         except CommitConflict:
             # concurrent writer won; clean up our orphaned files and re-raise
             for f in new_files:
@@ -464,14 +594,14 @@ class LakeTable:
         return lin
 
     @staticmethod
-    def _lineage_dict(stats_row, rows_live: int, buckets_touched: int, extra: dict | None) -> dict:
+    def _lineage_dict(stats_row, rows_written: int, buckets_touched: int, extra: dict | None) -> dict:
         lin = {
             "rows_in": stats_row["rows_in"],
             "rows_discarded": int(stats_row["rows_discarded"] or 0),
             "rows_delete_events": int(stats_row["rows_delete_events"] or 0),
             "start_offset": stats_row["start_offset"],
             "end_offset": stats_row["end_offset"],
-            "rows_live_after": rows_live,
+            "rows_written": rows_written,
             "buckets_touched": buckets_touched,
         }
         if extra:
@@ -510,7 +640,7 @@ class LakeTable:
         delta = new.join(old, on=join_cols, how="left_anti")
         return delta.withColumn(
             "_change_type", F.when(F.col(HIDDEN_DELETED), F.lit("delete")).otherwise(F.lit("upsert"))
-        ).drop(HIDDEN_DELETED, HIDDEN_EPOCH, HIDDEN_OFFSET)
+        ).drop(HIDDEN_DELETED, HIDDEN_EPOCH, HIDDEN_OFFSET, HIDDEN_SEQ)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Delete metadata of all but the newest ``keep_last`` snapshots and
@@ -518,14 +648,16 @@ class LakeTable:
         ``expire_snapshots`` analog). Time travel to expired versions stops
         working; the current snapshot is never touched."""
         cur = self.current_version()
-        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        all_versions = sorted(
+            int(n[1:9]) for n in os.listdir(os.path.join(self.path, META_DIR)) if n.startswith("v") and n.endswith(".json")
+        )
+        # intersect with versions actually present — a prior expire with a
+        # smaller keep_last may already have removed part of the window
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1)) & set(all_versions)
         referenced: set[str] = set()
         for v in keep_versions:
             referenced |= {f["path"] for f in self.meta(v)["files"]}
         removed_files = 0
-        all_versions = sorted(
-            int(n[1:9]) for n in os.listdir(os.path.join(self.path, META_DIR)) if n.startswith("v") and n.endswith(".json")
-        )
         for v in all_versions:
             if v in keep_versions:
                 continue
@@ -544,19 +676,31 @@ class LakeTable:
         return {"snapshots_removed": len(all_versions) - len(keep_versions & set(all_versions)), "files_removed": removed_files}
 
     def compact(self, target_files_per_bucket: int = 1) -> dict | None:
-        """Rewrite buckets that have more than ``target`` files (small-file
-        compaction — Iceberg ``rewrite_data_files`` analog)."""
+        """Fold delta files into base and rewrite fragmented buckets
+        (small-file compaction — Iceberg ``rewrite_data_files`` analog,
+        the background merge of ReplacingMergeTree, ``db.py:82-84``).
+
+        Victims = every bucket holding a delta file, plus buckets with more
+        than ``target_files_per_bucket`` base files. Each victim bucket is
+        LWW-resolved (tombstones retained — resurrection protection needs
+        them) and rewritten as a single base file; subsequent scans of the
+        bucket skip merge-on-read resolution entirely. Maintenance only —
+        never on the ingest critical path."""
         meta = self.meta()
-        per_bucket: dict[int, int] = {}
+        base_count: dict[int, int] = {}
+        victims: set[int] = set()
         for f in meta["files"]:
-            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
-        victims = {b for b, n in per_bucket.items() if n > target_files_per_bucket}
+            if f.get("kind", "base") == "base":
+                base_count[f["bucket"]] = base_count.get(f["bucket"], 0) + 1
+            else:
+                victims.add(f["bucket"])
+        victims |= {b for b, n in base_count.items() if n > target_files_per_bucket}
         if not victims:
             return None
         df = self.scan(buckets=victims, with_hidden=True).withColumn(
             "_b", self.bucket_expr(F.col(meta["key"]))
         )
         df = df.repartition(len(victims), F.col("_b"))
-        new_files = self._write_data(df, meta["schema_version"])
+        new_files = self._write_data(df, meta["schema_version"], kind="base")
         self._commit_files(meta, new_files, victims, lineage={"action": "compact", "buckets": len(victims)})
         return {"buckets_compacted": len(victims)}

@@ -38,22 +38,32 @@ def _fold(xs, ts, mean, blocked):
     return changes, mean, blocked
 
 
+def _sort_cols(ts_col: str, value_col: str, tiebreak_col: str | None) -> list[str]:
+    # stable sort with an explicit secondary key: equal-ts rows must fold
+    # in a deterministic order or the EWMA result is run-dependent
+    return [ts_col, tiebreak_col] if tiebreak_col else [ts_col, value_col]
+
+
 def detect_changes_batch(
     df: DataFrame,
     keys: list[str],
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Replay history per key in time order; emit one row per state flip.
 
     Ordering inside each group is done in pandas (the group fits in one
     Arrow batch); Spark only shuffles by key — the `repartition + sort
     within partitions` pattern of reference detector.py:129.
+    ``tiebreak_col`` (e.g. an event id) orders equal-timestamp rows; when
+    absent, ``value_col`` serves (equal (ts, value) rows fold identically
+    in any order).
     """
     out_schema = ", ".join(f"{k} string" for k in keys) + f", {ts_col} timestamp, mean double, blocked boolean"
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col])
+        pdf = pdf.sort_values(_sort_cols(ts_col, value_col, tiebreak_col), kind="stable")
         changes, _, _ = _fold(pdf[value_col].tolist(), pdf[ts_col].tolist(), 0.0, False)
         if not changes:
             return pd.DataFrame(columns=keys + [ts_col, "mean", "blocked"])
@@ -65,14 +75,14 @@ def detect_changes_batch(
 
 
 def ewma_final_means(
-    df: DataFrame, keys: list[str], ts_col: str = "ts", value_col: str = "value"
+    df: DataFrame, keys: list[str], ts_col: str = "ts", value_col: str = "value", tiebreak_col: str | None = None
 ) -> DataFrame:
     """Final EWMA mean per key after ordered replay (the detector's
     persisted ``means`` state, detector.py:790-835)."""
     out_schema = ", ".join(f"{k} string" for k in keys) + ", mean double, blocked boolean, n long"
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col])
+        pdf = pdf.sort_values(_sort_cols(ts_col, value_col, tiebreak_col), kind="stable")
         _, mean, blocked = _fold(pdf[value_col].tolist(), pdf[ts_col].tolist(), 0.0, False)
         key_vals = {k: pdf[k].iloc[0] for k in keys}
         return pd.DataFrame([{**key_vals, "mean": mean, "blocked": blocked, "n": len(pdf)}])

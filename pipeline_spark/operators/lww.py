@@ -51,11 +51,44 @@ def lww_latest(
     return _reduce(df, keys)
 
 
+def narrow_winners(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Per-key winning ``order_cols`` tuple via a NARROW argmax.
+
+    Aggregates only ``(keys, order_cols)`` — tens of bytes per row — so
+    map-side partial aggregation pre-combines hot keys and the payload
+    never enters the aggregation (the ObjectHashAggregate sort-fallback
+    trap). ``salt_buckets>0`` opts into an explicit two-level salted
+    reduction for pathological in-partition skew.
+    """
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    narrow = df.select(*keys, *order_cols)
+    if salt_buckets and salt_buckets > 1:
+        # two-level salted narrow argmax: hot keys split across reducers
+        salted = narrow.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
+        )
+        lvl1 = salted.groupBy(*keys, "_salt").agg(F.max(ord_struct).alias("_w"))
+        win = lvl1.groupBy(*keys).agg(F.max("_w").alias("_w"))
+    else:
+        win = narrow.groupBy(*keys).agg(F.max(ord_struct).alias("_w"))
+    return win.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in order_cols])
+
+
+#: "auto" broadcast regime: broadcast the winner keyset only while it is
+#: small enough that (rows × ~60 B) stays well under executor/driver memory.
+AUTO_BROADCAST_MAX_WINNERS = 4_000_000
+
+
 def lww_latest_semi(
     df: DataFrame,
     key: str | list[str],
     order_cols: list[str],
-    broadcast_winners: bool = True,
+    broadcast_winners: bool | str = True,
     salt_buckets: int = 0,
 ) -> DataFrame:
     """LWW keep-newest that never shuffles payload columns.
@@ -70,24 +103,27 @@ def lww_latest_semi(
        is filtered IN PLACE — zero payload shuffle.
 
     Requires ``(key, *order_cols)`` to be unique per row (a total order —
-    guaranteed here by the (version, epoch, offset) tie-break). For
-    micro-batches whose winner keyset would exceed broadcast limits, pass
-    ``broadcast_winners=False`` to let AQE pick the join strategy.
+    guaranteed here by the (version, epoch, offset) tie-break).
+
+    ``broadcast_winners`` size-gates the join strategy:
+      * ``True`` — caller knows the winner keyset is small (bounded
+        micro-batches): unconditional broadcast, zero extra jobs;
+      * ``False`` — shuffled semi-join on the key; AQE may still convert
+        to broadcast at runtime if the winner side measures small;
+      * ``"auto"`` — materialize the (narrow) winner keyset once
+        (``localCheckpoint``), count it, and broadcast only under
+        :data:`AUTO_BROADCAST_MAX_WINNERS`. At 10^10 keys the winner set
+        is tens of GB — broadcasting it through the driver would OOM, so
+        unbounded inputs (historical backfills) must use auto/False.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    ord_struct = F.struct(*[F.col(c) for c in order_cols])
-    narrow = df.select(*keys, *order_cols)
-    if salt_buckets and salt_buckets > 1:
-        # two-level salted narrow argmax: hot keys split across reducers
-        salted = narrow.withColumn(
-            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
-        )
-        lvl1 = salted.groupBy(*keys, "_salt").agg(F.max(ord_struct).alias("_w"))
-        win = lvl1.groupBy(*keys).agg(F.max("_w").alias("_w"))
+    win = narrow_winners(df, keys, order_cols, salt_buckets=salt_buckets)
+    if broadcast_winners == "auto":
+        win = win.localCheckpoint(eager=True)  # also avoids recomputing the argmax in the join
+        do_broadcast = win.count() <= AUTO_BROADCAST_MAX_WINNERS
     else:
-        win = narrow.groupBy(*keys).agg(F.max(ord_struct).alias("_w"))
-    win = win.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in order_cols])
-    if broadcast_winners:
+        do_broadcast = bool(broadcast_winners)
+    if do_broadcast:
         win = F.broadcast(win)
     return df.join(win, on=keys + order_cols, how="left_semi")
 

@@ -34,11 +34,17 @@ def ewma_update(
         mean, blocked, n = state.get
     else:
         mean, blocked, n = 0.0, False, 0
+    # applyInPandasWithState delivers a group as MULTIPLE Arrow chunks
+    # (maxRecordsPerBatch-sized); folding chunks independently would apply
+    # rows out of global time order for any group larger than one chunk.
+    # Materialize, then ONE stable sort over the whole micro-batch group
+    # ((ts, value) so equal-ts rows fold deterministically).
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
     changes = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
-        out, mean, blocked = _fold(pdf["value"].tolist(), pdf["ts"].tolist(), mean, blocked)
-        changes.extend(out)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "value"], kind="stable")
+        changes, mean, blocked = _fold(pdf["value"].tolist(), pdf["ts"].tolist(), mean, blocked)
         n += len(pdf)
     state.update((float(mean), bool(blocked), int(n)))
     if changes:

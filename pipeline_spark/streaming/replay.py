@@ -48,6 +48,7 @@ def replay_stream(
     salt_buckets: int = 0,
     schema_ddl: str = SPARK_DDL,
     extract: str = "winners",
+    compact_every: int = 0,
 ) -> dict:
     """Replay all available change files into ``table``; returns counters.
 
@@ -57,6 +58,13 @@ def replay_stream(
       * ``"eager"`` — derive ``text`` for EVERY change event before the
         merge (consumers that read every revision's text; the
         transform-stage-dominant profile).
+
+    ``compact_every``: fold merge-on-read deltas into base every N batches
+    (0 = never; run :meth:`LakeTable.compact` as separate maintenance).
+    Micro-batches are bounded (``maxFilesPerTrigger``), so the winner
+    keyset always fits a broadcast — ``merge`` runs with
+    ``broadcast_winners=True``; unbounded backfills go through
+    :func:`batch_replay`, which size-gates it.
     """
     assert extract in ("winners", "eager")
     reader = spark.readStream.schema(schema_ddl).option("recursiveFileLookup", "true")
@@ -81,6 +89,8 @@ def replay_stream(
         else:
             counters["batches"] += 1
             counters["rows_in"] += lin["rows_in"]
+        if compact_every and counters["batches"] % compact_every == 0:
+            table.compact()
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -106,4 +116,5 @@ def batch_replay(
     instead of per-epoch micro-batches.
     """
     df = spark.read.schema(schema_ddl).option("recursiveFileLookup", "true").parquet(source_path)
-    return table.merge(df, salt_buckets=salt_buckets, post_merge=fill_text)
+    # unbounded input → winner keyset may exceed broadcast limits: size-gate
+    return table.merge(df, salt_buckets=salt_buckets, post_merge=fill_text, broadcast_winners="auto")

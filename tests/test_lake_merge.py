@@ -131,7 +131,7 @@ def test_lineage_records(spark, tmp_path, spec):
     assert r["snapshot_id"] == t.current_version()
     assert r["start_offset"] == 0
     assert r["rows_discarded"] > 0  # generator injects invalid rows
-    assert r["rows_live_after"] >= 1
+    assert r["rows_written"] >= 1
 
 
 def test_schema_evolution_add_rename_widen(spark, tmp_path):
@@ -194,6 +194,54 @@ def test_compaction_reduces_files_preserves_state(spark, tmp_path, spec):
     assert_state_equal(as_pandas_state(t), before)
 
 
+def test_merge_is_o_batch_not_o_table(spark, tmp_path, spec):
+    """Merge-on-read invariant: a merge never reads or rewrites existing
+    files — each commit only APPENDS delta files, so write amplification is
+    O(batch) however large the table grows (the round-1 COW path rewrote
+    every touched bucket per batch)."""
+    t = make_table(spark, tmp_path, "mor")
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    t.merge(spark_batch(spark, pdfs[0]))
+    files_v1 = {f["path"]: f for f in t.meta()["files"]}
+    assert all(f["kind"] == "delta" for f in files_v1.values())
+    t.merge(spark_batch(spark, pdfs[1]))
+    files_v2 = {f["path"]: f for f in t.meta()["files"]}
+    # every v1 file survives untouched; additions are all deltas
+    assert set(files_v1) <= set(files_v2)
+    assert all(files_v2[p] == files_v1[p] for p in files_v1)
+    assert all(f["kind"] == "delta" for f in files_v2.values())
+    # compaction folds deltas into base without changing the state
+    before = as_pandas_state(t)
+    t.compact()
+    assert all(f["kind"] == "base" for f in t.meta()["files"])
+    assert_state_equal(as_pandas_state(t), before)
+    # and post-compaction merges stay O(batch)
+    t.merge(spark_batch(spark, pdfs[2]))
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs[: spec.n_epochs], extract_text_py))
+
+
+def test_merge_shuffled_winner_join_matches_oracle(spark, tmp_path, spec):
+    """broadcast_winners=False (the unbounded-backfill regime: shuffled
+    semi-join on the key, AQE free to re-plan) must be value-identical."""
+    t = make_table(spark, tmp_path, "nobc")
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    for pdf in pdfs:
+        t.merge(spark_batch(spark, pdf), broadcast_winners=False)
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+
+def test_scan_resolution_large_delta_regime(spark, tmp_path, spec, monkeypatch):
+    """Force the non-broadcast merge-on-read resolve (delta backlog above
+    the size gate) — results must be identical to the broadcast regime."""
+    t = make_table(spark, tmp_path, "bigdelta")
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    for pdf in pdfs:
+        t.merge(spark_batch(spark, pdf))
+    exp = as_pandas_state(t)
+    monkeypatch.setattr(LakeTable, "AUTO_BROADCAST_DELTA_ROWS", 0)
+    assert_state_equal(as_pandas_state(t), exp)
+
+
 def test_commit_conflict_detected(spark, tmp_path):
     t = make_table(spark, tmp_path, "conflict")
     meta = t.meta()
@@ -229,7 +277,9 @@ def test_time_travel_and_expiry(spark, tmp_path, spec):
     # time travel: each snapshot's count preserved
     assert t.scan(version=v - 1).count() == counts[-2]
     assert t.scan(version=v - 2).count() == counts[-3]
-    # expiry keeps newest, removes old snapshots + unreferenced files
+    # merge-on-read never unreferences files — compaction does; then expiry
+    # removes the pre-compaction snapshots and their now-orphaned deltas
+    t.compact()
     stats = t.expire_snapshots(keep_last=1)
     assert stats["snapshots_removed"] >= 2 and stats["files_removed"] > 0
     assert t.read().count() == counts[-1]  # current state intact

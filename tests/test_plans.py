@@ -63,6 +63,57 @@ def test_merge_write_plan_shape(spark, tmp_path):
     assert "html" not in agg_section, "payload column leaked into the LWW aggregation"
 
 
+def test_lww_semi_join_regimes_plan(spark):
+    """Size-gate both winner-join regimes: broadcast_winners=True must plan
+    a broadcast semi-join; False must NOT place a broadcast hint (the
+    shuffled path — AQE may still convert at runtime if it measures small,
+    which is exactly the desired behavior on a cluster)."""
+    from pipeline_spark.operators.lww import lww_latest_semi
+
+    df = spark.range(0, 1000).selectExpr("CAST(id % 50 AS STRING) AS k", "id AS v", "id AS o")
+    # kill the stats-based auto-broadcast so the assertion isolates the HINT
+    # (on real data Catalyst can't see the winner side is small statically)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bc = _plan(lww_latest_semi(df, key="k", order_cols=["v", "o"], broadcast_winners=True))
+        assert "BroadcastHashJoin" in bc and "LeftSemi" in bc.replace("\n", " ")
+        sh = _plan(lww_latest_semi(df, key="k", order_cols=["v", "o"], broadcast_winners=False))
+        assert "BroadcastHashJoin" not in sh  # initial plan: shuffled semi-join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_mor_scan_resolution_plan(spark, tmp_path):
+    """Merge-on-read scan: small delta backlog → winner tuples broadcast
+    (payload filtered in place, never shuffled); large backlog (gate forced
+    to 0) → no broadcast hint in the initial plan."""
+    from pipeline_spark.datagen import StreamSpec, generate_epoch
+    from pipeline_spark.lake import LakeTable
+    from tests.test_lake_merge import PAGE_SCHEMA, spark_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "morplan"), PAGE_SCHEMA, n_buckets=8)
+    for e in range(2):
+        t.merge(spark_batch(spark, generate_epoch(StreamSpec(n_events=2000, n_urls=200, n_epochs=2), e)))
+    plan = _plan(t.read())
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the resolve aggregation must be narrow: no payload in the agg section
+    agg_section = plan.split("HashAggregate")[1][:500] if "HashAggregate" in plan else ""
+    assert "html" not in agg_section, "payload column leaked into the MOR resolve aggregation"
+    old = LakeTable.AUTO_BROADCAST_DELTA_ROWS
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        LakeTable.AUTO_BROADCAST_DELTA_ROWS = 0
+        # kill stats-based auto-broadcast: isolate that no HINT is placed
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = _plan(t.read())
+        assert "BroadcastHashJoin" not in plan_big
+    finally:
+        LakeTable.AUTO_BROADCAST_DELTA_ROWS = old
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
 def test_bucket_pruned_point_lookup_reads_fewer_files(spark, tmp_path):
     from pipeline_spark.datagen import StreamSpec, generate_epoch
     from pipeline_spark.lake import LakeTable
