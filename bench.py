@@ -122,7 +122,7 @@ def run_replay(cpus: int, sf_dir: str, work_tag: str, extract: str = "winners") 
     warm = LakeTable.create(
         spark, os.path.join(work, "warm"), schema, key="url", version_col="warc_ts", n_buckets=4
     )
-    first = sorted(os.listdir(stream))[0]
+    first = sorted(d for d in os.listdir(stream) if d.startswith("ep-"))[0]
     warm.merge(
         spark.read.schema(SPARK_DDL).parquet(os.path.join(stream, first)).limit(5_000),
         post_merge=fill_text,

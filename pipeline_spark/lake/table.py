@@ -578,7 +578,19 @@ class LakeTable:
             merged = post_merge(merged)
 
         new_files = self._write_data(merged, meta["schema_version"], kind="delta")
-        stats = obs.get
+        try:
+            stats = obs.get
+        except Exception:
+            # Degenerate plans (e.g. a zero-file source relation) can be
+            # constant-folded so the CollectMetrics node never materializes.
+            # Fall back to one explicit narrow aggregation job.
+            stats = batch.agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(F.when(F.col(key).isNull() | F.col(vcol).isNull(), 1).otherwise(0)).alias("rows_discarded"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_delete_events"),
+                F.min("offset").alias("start_offset"),
+                F.max("offset").alias("end_offset"),
+            ).collect()[0]
         touched = {f["bucket"] for f in new_files}
 
         props = {f"fence.{fence[0]}": str(fence[1])} if fence else None

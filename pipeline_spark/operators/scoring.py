@@ -1,0 +1,141 @@
+"""Per-record scoring / enrichment stage — the reference's largest operator
+family, re-expressed as Catalyst column expressions.
+
+The reference routes every measurement through a test-name dispatcher
+(``af/fastpath/fastpath/core.py:1452-1514``) to one of ~16 scorers
+(``core.py:499-1449``), each producing a ``scores`` dict with shared keys
+(blocking_general, accuracy, msg). A row-at-a-time port would put the whole
+hot path inside Python; here the dispatcher is ONE chained ``CASE WHEN``
+column expression and every scorer is a pure ``pyspark.sql.functions``
+expression, so the entire stage stays inside whole-stage codegen — no
+Python worker is ever launched (plan-gated in tests/test_plans.py).
+
+Scorers included (each cites the behavior it mirrors):
+
+* :func:`set_compare_scorer` — compare an observed string-set against an
+  expected set with ``array_except`` BOTH ways (missing vs extra), the
+  web_connectivity header comparison (``core.py:660-729``);
+* :func:`failure_case_table_scorer` — map a failure string through a case
+  table to (blocking, accuracy) scores, the dns/tcp failure tables
+  (``core.py:1101-1151``);
+* :func:`tally_ratio_scorer` — per-record sub-result tally, score =
+  failed/total ratio, the per-target scoring of ``core.py:1233-1284``.
+
+Adding a scorer = one entry in the dict passed to :func:`score` — the
+"where does my business transform go" extension point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: shared scores-struct fields (the reference's scores dict keys,
+#: core.py:381-392): blocking ∈ [0,1], accuracy ∈ {-1,0,1}, msg free-form.
+SCORE_FIELDS = ("blocking", "accuracy", "msg")
+
+
+def make_scores(blocking: Column, accuracy: Column, msg: Column) -> Column:
+    """Assemble the canonical scores struct (all scorers emit this shape,
+    so the dispatcher's CASE branches type-unify)."""
+    return F.struct(
+        blocking.cast("double").alias("blocking"),
+        accuracy.cast("double").alias("accuracy"),
+        msg.cast("string").alias("msg"),
+    )
+
+
+DEFAULT_SCORES = make_scores(F.lit(0.0), F.lit(0.0), F.lit("unscored"))
+
+
+def score(
+    df: DataFrame,
+    dispatch_col: str,
+    scorers: Mapping[str, Callable[[DataFrame], Column]],
+    default: Column = DEFAULT_SCORES,
+    out_col: str = "scores",
+) -> DataFrame:
+    """Dispatch every row to its scorer by ``dispatch_col`` value.
+
+    The analog of the reference's ``score_measurement`` dispatcher
+    (core.py:1452-1514) as a single chained CASE expression: Catalyst
+    evaluates only the matching branch per row, and the whole stage is
+    codegen'd — a 100 TB scan pays zero serde.
+    """
+    expr: Column | None = None
+    for name, fn in scorers.items():
+        cond = F.col(dispatch_col) == F.lit(name)
+        branch = fn(df)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    out = expr.otherwise(default) if expr is not None else default
+    return df.withColumn(out_col, out)
+
+
+def set_compare_scorer(expected: list[str], got_col: Column) -> Column:
+    """Two-way set difference scorer (C3 analog, core.py:660-729):
+    missing = expected \\ got, extra = got \\ expected; full match → 0
+    blocking, any difference → blocking proportional to the asymmetry."""
+    exp = F.array(*[F.lit(x) for x in expected])
+    got = F.array_distinct(got_col)
+    missing = F.array_except(exp, got)
+    extra = F.array_except(got, exp)
+    n_missing = F.size(missing).cast("double")
+    n_extra = F.size(extra).cast("double")
+    blocking = F.least(F.lit(1.0), (n_missing * 0.5 + n_extra * 0.25) / F.lit(float(max(len(expected), 1))))
+    msg = F.when(
+        (n_missing == 0) & (n_extra == 0), F.lit("match")
+    ).otherwise(
+        F.concat(F.lit("missing="), n_missing.cast("int").cast("string"), F.lit(" extra="), n_extra.cast("int").cast("string"))
+    )
+    return make_scores(blocking, F.lit(1.0), msg)
+
+
+def failure_case_table_scorer(
+    failure_col: Column, case_table: dict[str, tuple[float, float]], default: tuple[float, float] = (0.5, 0.0)
+) -> Column:
+    """Failure-string case table (C10 analog, core.py:1101-1151): a known
+    failure maps to fixed (blocking, accuracy); unknown failures get the
+    conservative default and are labelled, mirroring the reference's
+    unknown-failure logging (C22, core.py:1136-1140)."""
+    blocking: Column = F.lit(default[0])
+    accuracy: Column = F.lit(default[1])
+    msg: Column = F.concat(F.lit("unknown_failure:"), failure_col)
+    for fail, (b, a) in reversed(list(case_table.items())):
+        cond = failure_col == F.lit(fail)
+        blocking = F.when(cond, F.lit(b)).otherwise(blocking)
+        accuracy = F.when(cond, F.lit(a)).otherwise(accuracy)
+        msg = F.when(cond, F.lit(fail)).otherwise(msg)
+    return make_scores(blocking, accuracy, msg)
+
+
+def tally_ratio_scorer(results_col: Column, is_failed) -> Column:
+    """Per-record sub-result tally (C13 analog, core.py:1233-1284):
+    ``results_col`` is an array column; blocking = failed/total. Uses
+    ``filter``/``size`` higher-order functions — no explode, no shuffle."""
+    total = F.size(results_col).cast("double")
+    failed = F.size(F.filter(results_col, is_failed)).cast("double")
+    blocking = F.when(total > 0, failed / total).otherwise(F.lit(0.0))
+    msg = F.concat(F.lit("failed "), failed.cast("int").cast("string"), F.lit("/"), total.cast("int").cast("string"))
+    return make_scores(blocking, F.when(total > 0, 1.0).otherwise(-1.0), msg)
+
+
+def confirmed_determination(scores_col: Column, fingerprint_hit: Column | None = None, threshold: float = 0.5) -> Column:
+    """Final verdict from the scores struct (C20 analog, core.py:1517-1539):
+    confirmed iff a fingerprint matched; anomaly iff blocking crosses the
+    threshold with usable accuracy."""
+    fp = fingerprint_hit if fingerprint_hit is not None else F.lit(False)
+    blocking = scores_col["blocking"]
+    usable = scores_col["accuracy"] >= 0
+    return (
+        F.when(fp, F.lit("confirmed"))
+        .when(usable & (blocking >= threshold), F.lit("anomaly"))
+        .when(~usable, F.lit("failed"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def scores_to_json(scores_col: Column) -> Column:
+    """Serialize the scores struct to a JSON string (P20 analog — the
+    reference stores scores as a JSON TEXT column, core.py:386-392)."""
+    return F.to_json(scores_col)

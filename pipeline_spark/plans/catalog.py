@@ -820,6 +820,160 @@ def nested_tally(spark, sf):
     )
 
 
+# =====================================================================
+# Scoring / enrichment stage (C-family: dispatcher + C3/C10/C13/C20)
+# =====================================================================
+
+_K = "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
+
+_FAILURE_TABLE = {
+    "timeout": (0.8, 1.0),
+    "connection_refused": (0.9, 1.0),
+    "dns_nxdomain": (1.0, 1.0),
+}
+
+
+def _k_col():
+    return F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+
+
+def _failure_col():
+    k = _k_col()
+    return (
+        F.when(k % 4 == 0, F.lit("timeout"))
+        .when(k % 4 == 1, F.lit("connection_refused"))
+        .when(k % 4 == 2, F.lit("dns_nxdomain"))
+        .otherwise(F.lit("weird_edge"))
+    )
+
+
+_FAILURE_SQL = f"""CASE ({_K}) % 4 WHEN 0 THEN 'timeout' WHEN 1 THEN 'connection_refused'
+                   WHEN 2 THEN 'dns_nxdomain' ELSE 'weird_edge' END"""
+
+
+@q(
+    "score_failure_case_table",
+    f"""
+    WITH t AS (SELECT event_id, {_FAILURE_SQL} AS failure FROM events WHERE event_type = 'error')
+    SELECT event_id,
+           round(CAST(CASE failure WHEN 'timeout' THEN 0.8 WHEN 'connection_refused' THEN 0.9
+                 WHEN 'dns_nxdomain' THEN 1.0 ELSE 0.5 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN failure IN ('timeout','connection_refused','dns_nxdomain') THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS accuracy,
+           CASE WHEN failure IN ('timeout','connection_refused','dns_nxdomain') THEN failure
+                ELSE 'unknown_failure:' || failure END AS msg
+    FROM t
+    """,
+)
+def score_failure_q(spark, sf):
+    """C10: failure-string case table (core.py:1101-1151) + C22 unknown-
+    failure labelling (core.py:1136-1140) — one codegen'd CASE chain."""
+    from pipeline_spark.operators.scoring import failure_case_table_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "error")
+    s = failure_case_table_scorer(_failure_col(), _FAILURE_TABLE)
+    return e.select(
+        "event_id",
+        F.round(s["blocking"], 6).alias("blocking"),
+        F.round(s["accuracy"], 6).alias("accuracy"),
+        s["msg"].alias("msg"),
+    )
+
+
+@q(
+    "score_header_set_compare",
+    f"""
+    WITH t AS (SELECT event_id, ({_K}) % 4 AS m FROM events WHERE event_type IN ('click', 'view'))
+    SELECT event_id,
+           round(CAST(CASE m WHEN 0 THEN 0.5 WHEN 1 THEN 1.0/3 WHEN 2 THEN 0.5/3 ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           CASE m WHEN 3 THEN 'match' ELSE 'missing=' || CAST(3 - m AS VARCHAR) || ' extra=0' END AS msg
+    FROM t
+    """,
+)
+def score_set_compare_q(spark, sf):
+    """C3: two-way array_except header comparison (core.py:660-729). The
+    observed set is derived deterministically from the payload (first k%4
+    of the expected list) so missing/extra counts are oracle-checkable."""
+    from pipeline_spark.operators.scoring import set_compare_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type").isin("click", "view"))
+    got = F.slice(F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")), 1, (_k_col() % 4).cast("int"))
+    s = set_compare_scorer(["a", "b", "c"], got)
+    return e.select("event_id", F.round(s["blocking"], 6).alias("blocking"), s["msg"].alias("msg"))
+
+
+@q(
+    "score_tally_ratio",
+    f"""
+    WITH t AS (SELECT event_id, 1 + ({_K}) % 5 AS m FROM events WHERE event_type = 'purchase')
+    SELECT event_id,
+           round(CAST(greatest(m - 2, 0) AS DOUBLE) / m, 6) AS blocking,
+           'failed ' || CAST(greatest(m - 2, 0) AS VARCHAR) || '/' || CAST(m AS VARCHAR) AS msg
+    FROM t
+    """,
+)
+def score_tally_q(spark, sf):
+    """C13: per-target sub-result tally ratio (core.py:1233-1284) via
+    higher-order filter/size — no explode, no shuffle."""
+    from pipeline_spark.operators.scoring import tally_ratio_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    results = F.sequence(F.lit(1), (F.lit(1) + _k_col() % 5).cast("int"))
+    s = tally_ratio_scorer(results, lambda x: x > 2)
+    return e.select("event_id", F.round(s["blocking"], 6).alias("blocking"), s["msg"].alias("msg"))
+
+
+@q(
+    "score_dispatch_verdicts",
+    f"""
+    WITH t AS (
+      SELECT event_type, {_K} AS k, ({_K}) % 4 AS m4, 1 + ({_K}) % 5 AS m5,
+             {_FAILURE_SQL} AS failure
+      FROM events),
+    s AS (
+      SELECT event_type, k,
+        CASE event_type
+          WHEN 'error' THEN CASE failure WHEN 'timeout' THEN 0.8 WHEN 'connection_refused' THEN 0.9
+                            WHEN 'dns_nxdomain' THEN 1.0 ELSE 0.5 END
+          WHEN 'purchase' THEN CAST(greatest(m5 - 2, 0) AS DOUBLE) / m5
+          WHEN 'click' THEN CASE m4 WHEN 0 THEN 0.5 WHEN 1 THEN 1.0/3 WHEN 2 THEN 0.5/3 ELSE 0.0 END
+          WHEN 'view' THEN CASE m4 WHEN 0 THEN 0.5 WHEN 1 THEN 1.0/3 WHEN 2 THEN 0.5/3 ELSE 0.0 END
+          ELSE 0.0 END AS blocking,
+        CASE event_type
+          WHEN 'error' THEN CASE WHEN failure IN ('timeout','connection_refused','dns_nxdomain') THEN 1.0 ELSE 0.0 END
+          WHEN 'purchase' THEN 1.0 WHEN 'click' THEN 1.0 WHEN 'view' THEN 1.0
+          ELSE 0.0 END AS accuracy
+      FROM t)
+    SELECT event_type,
+           CASE WHEN k = 77 THEN 'confirmed'
+                WHEN accuracy >= 0 AND blocking >= 0.5 THEN 'anomaly'
+                WHEN accuracy < 0 THEN 'failed' ELSE 'ok' END AS verdict,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def score_dispatch_q(spark, sf):
+    """The full C-family dispatcher (core.py:1452-1514) + C20 confirmed
+    determination (core.py:1517-1539): every event routed to its scorer by
+    event_type in ONE chained CASE, verdicts tallied per type."""
+    from pipeline_spark.operators import scoring as SC
+
+    e = _t(spark, sf, "events")
+    k = _k_col()
+    got = F.slice(F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")), 1, (k % 4).cast("int"))
+    results = F.sequence(F.lit(1), (F.lit(1) + k % 5).cast("int"))
+    scorers = {
+        "error": lambda df: SC.failure_case_table_scorer(_failure_col(), _FAILURE_TABLE),
+        "purchase": lambda df: SC.tally_ratio_scorer(results, lambda x: x > 2),
+        "click": lambda df: SC.set_compare_scorer(["a", "b", "c"], got),
+        "view": lambda df: SC.set_compare_scorer(["a", "b", "c"], got),
+    }
+    scored = SC.score(e, "event_type", scorers)
+    verdict = SC.confirmed_determination(F.col("scores"), fingerprint_hit=(k == 77))
+    return scored.select("event_type", verdict.alias("verdict")).groupBy("event_type", "verdict").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 @q("trivial_id_rows", None)  # shake_128 has no SQL twin → rows-only check
 def trivial_id_q(spark, sf):
     """P8: deterministic sortable row id (reference utils.py:1692-1711)."""
