@@ -63,23 +63,49 @@ def trivial_id_udf(day: pd.Series, raw: pd.Series) -> pd.Series:
 def simhash64_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based feature hashing
     (semantics of reference ``gen_simhash`` normalize.py:141-158, widened
-    from 32 to 64 bits). Vectorized per Arrow batch."""
+    from 32 to 64 bits).
 
-    def one(t):
+    numpy-vectorized per Arrow batch: each UNIQUE token is md5'd once,
+    the 64 sign bits of all token hashes unpack into one ±1 matrix, and
+    per-document bit sums are a single ``np.add.at`` scatter — no
+    per-token Python inner loop (the naive form ran a 64-iteration pure-
+    Python loop per token occurrence, ~100× slower)."""
+    import numpy as np
+
+    n = len(text)
+    tok_ids: list[int] = []  # one entry per token OCCURRENCE
+    doc_ids: list[int] = []
+    uniq: dict[str, int] = {}
+    live = np.zeros(n, dtype=bool)
+    for di, t in enumerate(text):
         if t is None:
-            return None
-        v = [0] * 64
+            continue
+        live[di] = True
         for tok in t.split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for i in range(64):
-                v[i] += 1 if (h >> i) & 1 else -1
-        out = 0
-        for i in range(64):
-            if v[i] > 0:
-                out |= 1 << i
-        return out - (1 << 64) if out >= (1 << 63) else out  # two's complement long
-
-    return pd.Series([one(t) for t in text], dtype="object").astype("Int64")
+            tid = uniq.setdefault(tok, len(uniq))
+            tok_ids.append(tid)
+            doc_ids.append(di)
+    out = pd.array([None] * n, dtype="Int64")
+    if uniq:
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        pm = bits * 2 - 1  # (unique tokens, 64) of ±1
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, np.asarray(doc_ids), pm[np.asarray(tok_ids)])
+        sim = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        signed = sim.astype(np.int64)  # two's complement reinterpret
+        for di in np.flatnonzero(live):
+            out[di] = int(signed[di])
+    else:
+        for di in np.flatnonzero(live):
+            out[di] = 0
+    return pd.Series(out)
 
 
 def knuth_unit(c: Column) -> Column:

@@ -161,15 +161,26 @@ def minhash_dedup_pairs(
 def simhash_near_dup_pairs(
     df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", sim_col: str = "simhash"
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ d, bucketed on 4×16-bit
-    sub-keys (pigeonhole: d≤3 ⇒ one sub-key equal) then exact bit_count."""
+    """ALL pairs at SimHash Hamming distance ≤ d — exact, via pigeonhole
+    banding: the 64 bits split into d+1 contiguous sub-keys, so any pair
+    within distance d agrees on at least one sub-key (d bit flips cannot
+    touch all d+1 bands). Candidates come from d+1 equi-joins on a sub-key,
+    then the exact ``bit_count(xor)`` check.
+
+    Cost scales with band selectivity: band width = 64/(d+1) bits. d=3 →
+    4×16-bit bands (cheap); large d → narrow bands → near-quadratic
+    candidate sets, the honest price of an exact wide-radius contract.
+    """
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
     parts = [
-        F.shiftrightunsigned(F.col(sim_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"p{i}")
-        for i in range(4)
+        F.shiftrightunsigned(F.col(sim_col), offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"p{i}")
+        for i in range(n_bands)
     ]
     keyed = df.select(F.col(id_col), F.col(sim_col), *parts)
     out = None
-    for i in range(4):
+    for i in range(n_bands):
         a = keyed.alias("a")
         b = keyed.alias("b")
         pairs = (

@@ -27,9 +27,18 @@ def weighted_sample(
 ) -> DataFrame:
     """Deterministic weighted k-sample (per group if ``by`` given).
 
-    P(row selected) ∝ weight, via key = u^(1/w) top-k (A-ExpJ)."""
+    P(row selected) ∝ weight, via key = u^(1/w) top-k (A-ExpJ).
+
+    Global case (``by=None``) uses ``orderBy().limit(k)`` — Spark plans
+    that as TakeOrderedAndProject: every partition keeps its local top-k
+    and only k rows per partition reach the driver-side merge. A
+    ``Window.partitionBy(lit(1))`` here would funnel the WHOLE dataset
+    through one task — the single-partition global sort anti-pattern."""
     u = knuth_unit(F.col(id_col))
     key = F.pow(u, F.lit(1.0) / F.col(weight_col))
-    w = Window.partitionBy(*(by or [F.lit(1)])).orderBy(F.desc("_sk"), F.asc(id_col))
-    ranked = df.withColumn("_sk", key).withColumn("_rank", F.row_number().over(w))
+    keyed = df.withColumn("_sk", key)
+    if not by:
+        return keyed.orderBy(F.desc("_sk"), F.asc(id_col)).limit(k).drop("_sk")
+    w = Window.partitionBy(*by).orderBy(F.desc("_sk"), F.asc(id_col))
+    ranked = keyed.withColumn("_rank", F.row_number().over(w))
     return ranked.filter(F.col("_rank") <= k).drop("_sk", "_rank")

@@ -128,16 +128,64 @@ def lsh_ann_topk(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", emb_col: str = "embedding"
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact; use LSH buckets to prune
-    at scale — here the corpus side is bucketed and only same-bucket pairs
-    are scored when ``df`` is large)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+    """Pairs with cosine ≥ threshold.
+
+    ``method="lsh"`` (default — the scale path): both sides are bucketed by
+    ``n_tables`` independent random-hyperplane tables; only same-(table,
+    bucket) pairs are candidate-joined (EQUI-join, linear shuffle) and then
+    exactly cosine-verified. Approximate recall — a true pair colliding in
+    no table is missed; recall rises with ``n_tables`` and falls with
+    ``n_planes`` (recall floor per pair at angle θ: 1-(1-(1-θ/π)^P)^T).
+
+    ``method="exact"``: all-pairs nested-loop — O(n²), the small-scale
+    verify/oracle path ONLY (same role as ``ngram_jaccard_pairs`` next to
+    MinHash-LSH). Never run it on a real corpus.
+    """
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", cosine(F.col("e_a"), F.col("e_b")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        )
+    assert method == "lsh", method
+    if dim is None:
+        dim = len(df.select(emb_col).first()[0])
+    parts = []
+    for t in range(n_tables):
+        planes = _planes(n_planes, dim, seed + 1000 * t)
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.col(emb_col),
+                F.lit(t).alias("tbl"),
+                bucket_ids(F.col(emb_col), planes).alias("bucket"),
+            )
+        )
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    a = keyed.select(F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
+    b = keyed.select(F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+    cand = (
+        a.join(b, ["tbl", "bucket"])  # equi-join per (table, bucket): linear, never a nested loop
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("e_a"), F.col("e_b")))
+        cand.withColumn("cos_sim", cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

@@ -588,10 +588,12 @@ def minhash_pairs(spark, sf):
 
 @q("simhash_near_dups", None)  # md5-bit simhash UDF → rows-only check
 def simhash_q(spark, sf):
+    # max_hamming=3 → 4×16-bit pigeonhole bands: the EXACT ≤d contract
+    # (d+1 bands cover d bit flips); wider radii need d+1 narrower bands
     from pipeline_spark.functions import simhash64_udf
 
     d = _t(spark, sf, "documents").select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
-    return D.simhash_near_dup_pairs(d, max_hamming=16)
+    return D.simhash_near_dup_pairs(d, max_hamming=3)
 
 
 _COS_SQL = """
@@ -645,10 +647,24 @@ def emb_ann(spark, sf):
     """,
 )
 def emb_near_dup(spark, sf):
+    # method="exact" on a BOUNDED id slice: the oracle-checkable verify
+    # path (the LSH-bucketed scale path is embedding_near_dup_lsh below)
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
     )
-    return S.embedding_near_dup_pairs(emb, threshold=0.5)
+    return S.embedding_near_dup_pairs(emb, threshold=0.5, method="exact")
+
+
+@q("embedding_near_dup_lsh", None)  # approximate recall by design → rows-only; recall tested in pytest
+def emb_near_dup_lsh(spark, sf):
+    """The 100 TB near-dup path: LSH-bucket both sides (equi-join on
+    (table, bucket) — linear shuffle, no nested loop), exact cosine verify
+    on candidates only. Recall vs the exact path asserted in
+    tests/test_operators.py."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    return S.embedding_near_dup_pairs(emb, threshold=0.3, method="lsh", n_planes=4, n_tables=16, dim=64)
 
 
 @q(
@@ -817,6 +833,47 @@ def nested_tally(spark, sf):
         endpoint_tally(F.col("evs"), lambda x: x["value"] > 50).cast("long").alias("n_high"),
         F.round(nested_max(F.col("evs"), "value"), 2).alias("max_value"),
         F.size("evs").cast("long").alias("n_events"),
+    )
+
+
+@q(
+    "jsonl_envelope_normalize",
+    """
+    SELECT 'U' AS op,
+           'https://u/' || CAST(user_id AS VARCHAR) AS url,
+           ts AS warc_ts,
+           encode(props) AS html,
+           event_type AS lang,
+           CAST(user_id % 3 AS BIGINT) AS epoch,
+           CAST(event_id AS BIGINT) AS "offset",
+           CAST(1 AS BIGINT) AS n_extra
+    FROM events
+    """,
+)
+def jsonl_normalize_q(spark, sf):
+    """S4/P2/P12/P14 round trip: events → enveloped JSON lines →
+    permissive parse, envelope unwrap, base64 payload decode, timestamp
+    parse, stray-key fold (reference normalize.py:77-100,164-170,408-506).
+    The oracle states the expected output directly — any loss in the
+    serialize→normalize round trip breaks the hash."""
+    from pipeline_spark.sources import normalize_enveloped
+
+    e = _t(spark, sf, "events")
+    rec = F.struct(
+        F.lit("U").alias("op"),
+        F.concat(F.lit("https://u/"), F.col("user_id").cast("string")).alias("url"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts"),
+        F.base64(F.encode(F.col("props"), "UTF-8")).alias("html_b64"),
+        F.col("event_type").alias("lang"),
+        (F.col("user_id") % 3).alias("epoch"),
+        F.col("event_id").alias("offset"),
+        F.col("props").alias("stray_props"),  # unknown key → must fold into extra
+    )
+    lines = e.select(F.to_json(F.struct(F.lit("json").alias("format"), rec.alias("content"))).alias("value"))
+    out = normalize_enveloped(lines, "value")
+    return out.select(
+        "op", "url", "warc_ts", "html", "lang", "epoch", "offset",
+        F.size("extra").cast("long").alias("n_extra"),
     )
 
 

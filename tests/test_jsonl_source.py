@@ -1,0 +1,65 @@
+"""JSONL ingest path: envelope unwrap, permissive parse, base64 payloads,
+stray-key fold — and the gate that matters: a jsonl replay reproduces the
+parquet replay's final table state bit-for-bit."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pipeline_spark.datagen import StreamSpec, generate_epoch, lww_oracle
+from pipeline_spark.extraction import extract_text_py
+from pipeline_spark.lake import LakeTable
+from pipeline_spark.sources import read_jsonl_changes, write_change_stream_jsonl
+from pipeline_spark.streaming.replay import fill_text
+from tests.test_lake_merge import PAGE_SCHEMA, as_pandas_state, assert_state_equal
+
+
+def test_jsonl_replay_matches_parquet_final_state(spark, tmp_path):
+    spec = StreamSpec(n_events=4_000, n_urls=200, n_epochs=2)
+    write_change_stream_jsonl(str(tmp_path / "stream"), spec, extra_keys=True)
+
+    t = LakeTable.create(spark, str(tmp_path / "pages"), PAGE_SCHEMA, n_buckets=8)
+    df = read_jsonl_changes(spark, str(tmp_path / "stream") + "/*/*.jsonl").drop("extra")
+    t.merge(df, post_merge=fill_text)
+
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+
+def test_jsonl_stray_key_fold_and_malformed_lines(spark, tmp_path):
+    spec = StreamSpec(n_events=400, n_urls=50, n_epochs=1)
+    write_change_stream_jsonl(str(tmp_path / "s2"), spec, extra_keys=True)
+    # plant a malformed line and a no-envelope line
+    p = str(tmp_path / "s2" / "ep-0000" / "part-00000.jsonl")
+    with open(p, "a") as f:
+        f.write("this is not json at all\n")
+        f.write('{"format": "json"}\n')
+
+    df = read_jsonl_changes(spark, p)
+    rows = df.collect()
+    pdf = generate_epoch(spec, 0)
+    assert len(rows) == len(pdf) + 2  # malformed lines surface as null records
+    n_null = sum(1 for r in rows if r["op"] is None and r["url"] is None)
+    n_invalid_gen = int(pdf["url"].isna().sum())  # datagen nulls url only on some invalids
+    assert n_null >= 2
+    strays = [r["extra"] for r in rows if r["extra"]]
+    assert strays and all("debug_note" in s for s in strays)
+    # every 7th record carries the stray key
+    assert len(strays) == (len(pdf) + 6) // 7
+    # base64 → binary round trip is byte-exact
+    by_offset = {(r["epoch"], r["offset"]): r for r in rows if r["offset"] is not None}
+    for row in pdf.itertuples(index=False):
+        if row.html is not None:
+            got = by_offset[(row.epoch, row.offset)]["html"]
+            assert bytes(got) == row.html
+
+
+def test_jsonl_timestamps_match_parquet(spark, tmp_path):
+    """Microsecond timestamps must survive the string round trip."""
+    spec = StreamSpec(n_events=200, n_urls=30, n_epochs=1)
+    write_change_stream_jsonl(str(tmp_path / "s3"), spec)
+    df = read_jsonl_changes(spark, str(tmp_path / "s3") + "/*/*.jsonl")
+    pdf = generate_epoch(spec, 0)
+    got = {r["offset"]: r["warc_ts"] for r in df.collect() if r["offset"] is not None}
+    for row in pdf.itertuples(index=False):
+        exp = None if pd.isna(row.warc_ts) else row.warc_ts.to_pydatetime()
+        assert got[row.offset] == exp, (row.offset, got[row.offset], exp)

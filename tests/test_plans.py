@@ -114,6 +114,22 @@ def test_mor_scan_resolution_plan(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
 
+def test_near_dup_lsh_no_nested_loop(spark, sf_dir):
+    """The scale near-dup path must candidate-generate with an EQUI-join on
+    (table, bucket) — never a nested-loop / cartesian product."""
+    plan = _plan(entry_mod.queries()["embedding_near_dup_lsh"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_global_is_take_ordered(spark, sf_dir):
+    """Global weighted sample must plan TakeOrderedAndProject (per-partition
+    local top-k), not a single-partition window sort."""
+    plan = _plan(entry_mod.queries()["weighted_sample_deterministic"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_bucket_pruned_point_lookup_reads_fewer_files(spark, tmp_path):
     from pipeline_spark.datagen import StreamSpec, generate_epoch
     from pipeline_spark.lake import LakeTable
