@@ -718,6 +718,64 @@ def ewma_q(spark, sf):
     return ewma_final_means(e, keys=["event_type"], ts_col="ts", value_col="value")
 
 
+@q(
+    "incremental_counters_from_changelog",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    FROM latest GROUP BY event_type
+    """,
+)
+def incr_counters_q(spark, sf):
+    """Incrementally-maintained matview: events replayed as a 3-chunk CDC
+    stream into a lake table keyed on user_id; after each merge the
+    per-event_type counters fold ONLY the changelog delta (retract + add,
+    plans/incremental.py). The oracle states the end result directly —
+    LWW latest state grouped — so any drift in the incremental maintenance
+    breaks the hash. (Chunks split on event_id ranges so the (ts, epoch,
+    offset) merge order equals the oracle's (ts, event_id) order.)"""
+    import os
+    import tempfile
+
+    from pipeline_spark.lake import LakeTable
+    from pipeline_spark.plans.incremental import incremental_refresh
+
+    e = _t(spark, sf, "events")
+    n = e.agg(F.max("event_id")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="incr_counters_")
+    t = LakeTable.create(
+        spark,
+        os.path.join(work, "state"),
+        [("uid", "string"), ("ts", "timestamp"), ("event_type", "string"), ("value", "double")],
+        key="uid",
+        version_col="ts",
+        n_buckets=8,
+    )
+    measures = lambda df: {"n": F.lit(1), "sum_value_raw": F.col("value")}  # noqa: E731
+    state, since = None, 0
+    for c in range(3):
+        lo, hi = c * n // 3, (c + 1) * n // 3
+        batch = e.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).select(
+            F.lit("U").alias("op"),
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("ts"),
+            F.col("event_type"),
+            F.col("value"),
+            F.lit(c).cast("long").alias("epoch"),
+            F.col("event_id").alias("offset"),
+        )
+        t.merge(batch, fence=("incr", c))
+        state = incremental_refresh(t, state, ["event_type"], measures, since_version=since).localCheckpoint(
+            eager=True
+        )
+        since = t.current_version()
+    return state.select(
+        "event_type", F.col("n").cast("long").alias("n"), F.round("sum_value_raw", 2).alias("sum_value")
+    )
+
+
 @q("cdc_replay_final_state", None)  # full engine path → checked in pytest vs oracle
 def cdc_replay_q(spark, sf):
     """Flagship: generate a deterministic CDC stream sized to the SF, replay
