@@ -108,6 +108,17 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def canonicalize(c: Column, mapping: dict[str, str], keep_unknown: bool = True) -> Column:
+    """Name-canonicalization map (P13 — the reference's test-name renames,
+    normalize.py:25-75): known values map through a literal map expression
+    (JVM lookup, no UDF); unknown values pass through (or null out)."""
+    lits = []
+    for k, v in mapping.items():
+        lits += [F.lit(k), F.lit(v)]
+    looked = F.element_at(F.create_map(*lits), c)
+    return F.coalesce(looked, c) if keep_unknown else looked
+
+
 def knuth_unit(c: Column) -> Column:
     """Deterministic pseudo-uniform in [0,1) from an integer key — pure
     BIGINT arithmetic so Spark and DuckDB produce identical values (used

@@ -35,6 +35,12 @@ def q(name: str, oracle: str | None):
 
     return reg
 
+_K = "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
+
+
+def _k_col():
+    return F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+
 
 # =====================================================================
 # Relational core (SURVEY §2.5 joins, §2.6 aggregations, §2.8 set ops)
@@ -708,14 +714,169 @@ def multimodal_q(spark, sf):
     return out.select("doc_id", "media_type", "byte_len", "width")
 
 
-@q("ewma_change_detection", None)  # ordered stateful fold → rows-only check
+@q(
+    "ewma_change_detection",
+    """
+    WITH s AS (
+      SELECT event_type, list(value / 100.0 ORDER BY ts, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    f AS (
+      SELECT event_type, n, list_reduce(
+        list_prepend({'m': 0.0, 'b': false}::STRUCT(m DOUBLE, b BOOLEAN),
+                     list_transform(xs, x -> {'m': x, 'b': false}::STRUCT(m DOUBLE, b BOOLEAN))),
+        (acc, x) -> {'m': (1.0 - 0.02) * acc.m + 0.02 * x.m,
+                     'b': CASE WHEN NOT acc.b AND (1.0 - 0.02) * acc.m + 0.02 * x.m > 0.10 THEN true
+                               WHEN acc.b AND (1.0 - 0.02) * acc.m + 0.02 * x.m < 0.05 THEN false
+                               ELSE acc.b END}::STRUCT(m DOUBLE, b BOOLEAN)) AS fold
+      FROM s)
+    SELECT event_type, round(fold.m, 9) AS mean, fold.b AS blocked, n FROM f
+    """,
+)
 def ewma_q(spark, sf):
+    """W1 with a FULL value oracle: the ordered stateful fold (EWMA +
+    hysteresis) expressed in DuckDB as a struct-state list_reduce over
+    list(value ORDER BY ts, event_id). Arithmetic is written identically
+    on both sides ((1.0-0.02)*m + 0.02*x on IEEE doubles, same fold
+    order), so the means compare bit-stably at 9 decimals."""
     from pipeline_spark.operators.detector import ewma_final_means
 
     e = _t(spark, sf, "events").select(
         "event_type", "ts", (F.col("value") / 100.0).alias("value"), "event_id"
     )
-    return ewma_final_means(e, keys=["event_type"], ts_col="ts", value_col="value")
+    out = ewma_final_means(e, keys=["event_type"], ts_col="ts", value_col="value", tiebreak_col="event_id")
+    return out.select("event_type", F.round("mean", 9).alias("mean"), "blocked", "n")
+
+
+_HEADER_FPS = [
+    ("fp_srv_click", "server", "click"),
+    ("fp_srv_error", "server", "error"),
+    ("fp_k_42", "x-k", "42"),
+    ("fp_absent", "server", "zz-never"),
+]
+
+
+@q(
+    "fingerprint_header_match",
+    f"""
+    SELECT fp_id, CAST(count(*) AS BIGINT) AS n_matched, CAST(min(event_id) AS BIGINT) AS first_id
+    FROM events, (VALUES {', '.join(f"('{i}','{n}','{v}')" for i, n, v in _HEADER_FPS)}) fp(fp_id, hname, hval)
+    WHERE (hname = 'server' AND event_type = hval)
+       OR (hname = 'x-k' AND CAST({_K} AS VARCHAR) = hval)
+    GROUP BY fp_id
+    """,
+)
+def fingerprint_header_q(spark, sf):
+    """C18: header-equality fingerprint match (core.py:351-377) — headers
+    normalize to a lowercased map (P11, nested.py), the (tiny) fingerprint
+    dim broadcasts, and the match is a map lookup equality, not a scan of
+    the body."""
+    from pipeline_spark.operators.nested import normalize_headers
+
+    e = _t(spark, sf, "events")
+    raw_headers = F.array(
+        F.struct(F.lit("Server").alias("name"), F.array(F.col("event_type")).alias("values")),
+        F.struct(F.lit("X-K").alias("name"), F.array(_k_col().cast("string")).alias("values")),
+    )
+    hm = e.select("event_id", normalize_headers(raw_headers).alias("headers"))
+    fps = spark.createDataFrame(_HEADER_FPS, "fp_id string, hname string, hval string")
+    return (
+        hm.crossJoin(F.broadcast(fps))
+        .filter(F.element_at(F.col("headers"), F.col("hname")) == F.col("hval"))
+        .groupBy("fp_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"), F.min("event_id").alias("first_id"))
+    )
+
+
+_DNS_FPS = [("fp_dns_a", "10.0.0.1"), ("fp_dns_b", "10.0.2.1"), ("fp_dns_absent", "192.0.2.99")]
+
+
+@q(
+    "fingerprint_dns_match",
+    f"""
+    SELECT fp_id, CAST(count(*) AS BIGINT) AS n_matched
+    FROM events, (VALUES {', '.join(f"('{i}','{a}')" for i, a in _DNS_FPS)}) fp(fp_id, addr)
+    WHERE '10.0.' || CAST(({_K}) % 4 AS VARCHAR) || '.1' = addr
+       OR '10.0.' || CAST(({_K}) % 4 AS VARCHAR) || '.2' = addr
+    GROUP BY fp_id
+    """,
+)
+def fingerprint_dns_q(spark, sf):
+    """C19: DNS-answer fingerprint match (core.py:379-415) — raw answer
+    strings parse inside the array (P16, one transform, no explode), then
+    the match is address-equality against the broadcast dim via EXISTS."""
+    from pipeline_spark.operators.nested import parse_dns_answers
+
+    e = _t(spark, sf, "events")
+    k = _k_col()
+    mk = lambda last: F.concat(  # noqa: E731
+        F.lit("ttl "), k.cast("string"), F.lit(" type A 10.0."), (k % 4).cast("string"), F.lit(f".{last}")
+    )
+    answers = parse_dns_answers(F.array(mk(1), mk(2)))
+    parsed = e.select("event_id", F.transform(answers, lambda a: a["address"]).alias("addrs"))
+    fps = spark.createDataFrame(_DNS_FPS, "fp_id string, addr string")
+    return (
+        parsed.crossJoin(F.broadcast(fps))
+        .filter(F.array_contains(F.col("addrs"), F.col("addr")))
+        .groupBy("fp_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+@q(
+    "canonical_name_map",
+    """
+    SELECT CASE event_type WHEN 'click' THEN 'web_click' WHEN 'view' THEN 'web_view'
+           ELSE event_type END AS canonical,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def canonical_map_q(spark, sf):
+    """P13: name canonicalization through a literal map (normalize.py:25-75),
+    unknown names passing through."""
+    from pipeline_spark.functions import canonicalize
+
+    e = _t(spark, sf, "events")
+    return e.select(
+        canonicalize(F.col("event_type"), {"click": "web_click", "view": "web_view"}).alias("canonical")
+    ).groupBy("canonical").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "zz_merge_global_lists",
+    """
+    WITH langs AS (SELECT DISTINCT lang FROM documents WHERE lang <> 'zz'),
+    expanded AS (
+      SELECT l.lang, d.doc_id FROM documents d CROSS JOIN langs l WHERE d.lang = 'zz'
+      UNION
+      SELECT d.lang, d.doc_id FROM documents d WHERE d.lang <> 'zz')
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM expanded GROUP BY lang
+    """,
+)
+def zz_merge_q(spark, sf):
+    """J3: ZZ-merge (reference prio.py:85-89) — 'global' (lang='zz') docs
+    fan out to EVERY concrete lang via a broadcast cross join with the
+    (tiny) lang dim; lang-specific docs stay as-is; union + dedup."""
+    d = _t(spark, sf, "documents")
+    langs = d.filter(F.col("lang") != "zz").select("lang").distinct()
+    globals_ = d.filter(F.col("lang") == "zz").select("doc_id")
+    specific = d.filter(F.col("lang") != "zz").select("lang", "doc_id")
+    expanded = globals_.crossJoin(F.broadcast(langs)).select("lang", "doc_id").union(specific).dropDuplicates()
+    return expanded.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@q("global_stats_approx", None)  # HLL sketch ≠ DuckDB's sketch → bound-checked in pytest
+def global_stats_approx_q(spark, sf):
+    """A3 approx variant (reference database_upgrade_schema.py:124-192 uses
+    uniqHLL12): approx_count_distinct at rsd=0.02 — the 100 TB form of the
+    matview stats (exact countDistinct is a full shuffle of the key)."""
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.approx_count_distinct("event_type", 0.02).alias("n_types_approx"),
+    )
 
 
 @q(
@@ -939,7 +1100,6 @@ def jsonl_normalize_q(spark, sf):
 # Scoring / enrichment stage (C-family: dispatcher + C3/C10/C13/C20)
 # =====================================================================
 
-_K = "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
 
 _FAILURE_TABLE = {
     "timeout": (0.8, 1.0),
@@ -947,9 +1107,6 @@ _FAILURE_TABLE = {
     "dns_nxdomain": (1.0, 1.0),
 }
 
-
-def _k_col():
-    return F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
 
 
 def _failure_col():

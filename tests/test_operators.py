@@ -157,6 +157,17 @@ def test_cosine_golden(spark):
     assert got[1] == pytest.approx(1.0)
 
 
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """A3 approx variant: HLL estimate within ~3×rsd of the exact count."""
+    import __spark_entry__ as entry_mod
+
+    got = entry_mod.queries()["global_stats_approx"](spark, sf_dir).collect()[0]
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = e.select(F.countDistinct("user_id"), F.countDistinct("event_type")).collect()[0]
+    assert abs(got["n_users_approx"] - exact[0]) <= max(3, 0.06 * exact[0])
+    assert abs(got["n_types_approx"] - exact[1]) <= max(1, 0.06 * exact[1])
+
+
 # -------------------------------------------------------------- detector
 
 def test_ewma_golden_series(spark):
