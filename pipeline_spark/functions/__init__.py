@@ -59,6 +59,23 @@ def trivial_id_udf(day: pd.Series, raw: pd.Series) -> pd.Series:
     return pd.Series([one(d, b) for d, b in zip(day, raw)])
 
 
+@F.pandas_udf(StringType())
+def legacy_report_id_udf(start_time: pd.Series, header: pd.Series) -> pd.Series:
+    """P9: legacy report-id synthesis — deterministic 50-ascii-letter id
+    derived from sha512 of a header blob, prefixed by the start time
+    (shape of reference normalize.py:568-590; exact byte mapping differs —
+    the reference's ids are synthetic too, determinism is the contract)."""
+
+    def one(t, h):
+        if h is None or t is None:
+            return None
+        dig = hashlib.sha512(h).digest()
+        letters = "".join(chr(ord("A") + (b % 26)) for b in dig[:50])
+        return f"{t}_{letters}"
+
+    return pd.Series([one(t, h) for t, h in zip(start_time, header)])
+
+
 @F.pandas_udf(LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based feature hashing

@@ -28,7 +28,10 @@ def normalize_headers(pairs: Column) -> Column:
 def envelope_unwrap(content: Column, fmt: Column, schema) -> Column:
     """P2: if the record is a `{content, format}` envelope, parse the json
     branch; other formats surface as NULL struct for a later stage."""
-    return F.when(F.lower(fmt) == "json", F.from_json(content, schema)).otherwise(F.lit(None).cast(schema))
+    struct_ddl = schema if str(schema).lstrip().lower().startswith("struct<") else f"struct<{schema}>"
+    return F.when(F.lower(fmt) == "json", F.from_json(content, schema)).otherwise(
+        F.lit(None).cast(struct_ddl)
+    )
 
 
 def parse_dns_answers(answers: Column) -> Column:
@@ -52,6 +55,14 @@ def endpoint_tally(arr: Column, success) -> Column:
 def nested_max(arr: Column, field: str) -> Column:
     """A6: max over a struct field of a nested array (db.py:329-333)."""
     return F.array_max(F.transform(arr, lambda x: x[field]))
+
+
+def response_length(resp: Column) -> Column:
+    """P15: response_length = Content-Length header when present and
+    numeric, else actual body length (normalize.py:274-288 semantics).
+    ``resp`` is struct<headers map<string,string>, body string>."""
+    cl = F.element_at(resp["headers"], F.lit("content-length")).try_cast("long")
+    return F.coalesce(cl, F.length(resp["body"]).cast("long"))
 
 
 def reorder_requests(reqs: Column, is_primary) -> Column:

@@ -72,7 +72,13 @@ def replay_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(source_path)
 
-    counters = {"batches": 0, "batches_skipped": 0, "rows_in": 0}
+    # W7 progress/throughput gauges (the reference's ETA estimator,
+    # s3feeder.py:303-323): per-batch wall time + running events/sec,
+    # fed by the merge's observe()d lineage counters.
+    import time as _time
+
+    t_start = _time.monotonic()
+    counters = {"batches": 0, "batches_skipped": 0, "rows_in": 0, "elapsed_s": 0.0, "events_per_sec": 0.0}
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if extract == "eager":
@@ -89,6 +95,9 @@ def replay_stream(
         else:
             counters["batches"] += 1
             counters["rows_in"] += lin["rows_in"]
+        counters["elapsed_s"] = round(_time.monotonic() - t_start, 3)
+        if counters["elapsed_s"] > 0:
+            counters["events_per_sec"] = round(counters["rows_in"] / counters["elapsed_s"], 1)
         if compact_every and counters["batches"] % compact_every == 0:
             table.compact()
 

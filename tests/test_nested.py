@@ -51,3 +51,43 @@ def test_reorder_requests_stable(spark):
         reorder_requests(F.col("reqs"), lambda r: r["kind"] == "exp").alias("r")
     ).collect()[0]["r"]
     assert [x["i"] for x in out] == [2, 3, 1, 4]  # primaries first, stable
+
+
+def test_envelope_unwrap(spark):
+    from pipeline_spark.operators.nested import envelope_unwrap
+
+    rows = [("json", '{"a": 1, "b": "x"}'), ("yaml", "a: 1"), ("json", "not json")]
+    df = spark.createDataFrame(rows, "fmt string, content string")
+    out = df.select(
+        envelope_unwrap(F.col("content"), F.col("fmt"), "a int, b string").alias("rec")
+    ).collect()
+    assert out[0]["rec"]["a"] == 1 and out[0]["rec"]["b"] == "x"
+    assert out[1]["rec"] is None  # non-json formats surface as NULL struct
+    assert out[2]["rec"] == (None, None)  # permissive: unparsable → null fields
+
+
+def test_response_length(spark):
+    from pipeline_spark.operators.nested import response_length
+
+    rows = [
+        ({"content-length": "123"}, "short"),
+        ({}, "body of 15 chars" [:15]),
+        ({"content-length": "oops"}, "xyz"),
+    ]
+    df = spark.createDataFrame(rows, "headers map<string,string>, body string")
+    got = [r[0] for r in df.select(response_length(F.struct("headers", "body"))).collect()]
+    assert got == [123, 15, 3]  # header wins; falls back to body length
+
+
+def test_legacy_report_id(spark):
+    from pipeline_spark.functions import legacy_report_id_udf
+
+    df = spark.createDataFrame(
+        [("20240101T000000Z", b"hdr"), ("20240101T000000Z", b"hdr"), ("20240101T000000Z", None)],
+        "t string, h binary",
+    )
+    got = [r[0] for r in df.select(legacy_report_id_udf("t", "h")).collect()]
+    assert got[0] == got[1] and got[0].startswith("20240101T000000Z_")
+    suffix = got[0].split("_", 1)[1]
+    assert len(suffix) == 50 and suffix.isalpha() and suffix.isupper()
+    assert got[2] is None
