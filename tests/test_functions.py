@@ -1,0 +1,71 @@
+"""Golden unit tests for the scalar column helpers (SURVEY §2.3/§2.9) —
+each previously relied on indirect coverage only."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pipeline_spark.functions import (
+    bool_tf,
+    canonicalize,
+    clamp_future,
+    extract_domain,
+    flag_wrong_date,
+    knuth_unit,
+    parse_asn,
+    parse_ts,
+)
+from pipeline_spark.operators.scoring import make_scores, scores_to_json
+
+
+def test_parse_asn_and_bool_tf(spark):
+    df = spark.createDataFrame([("AS123", True), ("AS7", False)], "asn string, b boolean")
+    got = df.select(parse_asn(F.col("asn")).alias("a"), bool_tf(F.col("b")).alias("t")).collect()
+    assert [(r["a"], r["t"]) for r in got] == [(123, "t"), (7, "f")]
+
+
+def test_parse_ts_roundtrip(spark):
+    df = spark.createDataFrame([("2024-03-05 06:07:08",)], "s string")
+    got = df.select(parse_ts(F.col("s")).alias("ts")).collect()[0]["ts"]
+    assert got == datetime(2024, 3, 5, 6, 7, 8)
+
+
+def test_flag_wrong_date_and_clamp_future(spark):
+    rows = [
+        (datetime(2024, 1, 1, 2, 0), datetime(2024, 1, 1, 0, 0)),   # 2h ahead → flagged
+        (datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 0, 0)),  # 30min ahead → ok
+        (datetime(2022, 1, 1), datetime(2024, 1, 1)),               # >1y stale → flagged
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, recv timestamp")
+    got = [r[0] for r in df.select(flag_wrong_date(F.col("ts"), F.col("recv"))).collect()]
+    assert got == [True, False, True]
+    clamped = [r[0] for r in df.select(clamp_future(F.col("ts"), F.col("recv"))).collect()]
+    assert clamped == [datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 30), datetime(2022, 1, 1)]
+
+
+def test_extract_domain(spark):
+    df = spark.createDataFrame([("https://a.example.com/x/y?z=1",)], "u string")
+    assert df.select(extract_domain(F.col("u"))).collect()[0][0] == "a.example.com"
+
+
+def test_canonicalize_passthrough_and_nullout(spark):
+    df = spark.createDataFrame([("click",), ("weird",)], "t string")
+    m = {"click": "web_click"}
+    keep = [r[0] for r in df.select(canonicalize(F.col("t"), m)).collect()]
+    drop = [r[0] for r in df.select(canonicalize(F.col("t"), m, keep_unknown=False)).collect()]
+    assert keep == ["web_click", "weird"]
+    assert drop == ["web_click", None]
+
+
+def test_knuth_unit_deterministic_and_bounded(spark):
+    got = [r[0] for r in spark.range(0, 1000).select(knuth_unit(F.col("id"))).collect()]
+    assert all(0.0 <= u < 1.0 for u in got)
+    again = [r[0] for r in spark.range(0, 1000).select(knuth_unit(F.col("id"))).collect()]
+    assert got == again
+
+
+def test_scores_to_json_golden(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    s = make_scores(F.lit(1).cast("double"), F.lit(0).cast("double"), F.lit("match"))
+    got = df.select(scores_to_json(s)).collect()[0][0]
+    assert got == '{"blocking":1.0,"accuracy":0.0,"msg":"match"}'
