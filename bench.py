@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "minhash_lsh_pairs",
     "embedding_topk_bruteforce",
     "text_quality",
+    "score_dispatch_verdicts",
 ]
 
 
@@ -248,9 +249,12 @@ def main() -> None:
         results: dict[int, float] = {}
         control: dict[int, float] = {}
         extract_stage: dict[int, float] = {}
+        attempts: dict[int, list[float]] = {k: [] for k in levels}
         for r in range(repeats):
             for k in levels:
-                results[k] = min(results.get(k, 1e18), replay_at(k))
+                t = replay_at(k)
+                attempts[k].append(round(t, 3))
+                results[k] = min(results.get(k, 1e18), t)
                 control[k] = max(control.get(k, 0.0), _cpu_spin_control(k))
                 if r == 0:
                     p = subprocess.run(
@@ -260,7 +264,12 @@ def main() -> None:
                     line = [ln for ln in p.stdout.splitlines() if ln.startswith("EXTRACT_SECONDS")]
                     extract_stage[k] = float(line[0].split()[1]) if line else None
 
-        scaling = {"events": n_events, "sf": sf, "pairs": []}
+        scaling = {
+            "events": n_events,
+            "sf": sf,
+            "attempts_sec": {str(k): v for k, v in attempts.items()},
+            "pairs": [],
+        }
         for lo, hi in pairs:
             eff = (results[lo] / results[hi]) / (hi / lo)
             ctrl_eff = (control[hi] / control[lo]) / (hi / lo)
@@ -358,6 +367,11 @@ level — the host is a shared VM whose available CPU swings between runs).
 
 efficiency = (T_N / T_4N) / 4.
 
+Per-attempt wall times (seconds; best-of is the reported number — on a
+shared VM the minimum is the least-contended attempt):
+
+{chr(10).join(f"* local[{k}]: {v}" for k, v in s.get("attempts_sec", {}).items())}
+
 * **extract-stage eff.** times the Arrow-vectorized HTML→text transform
   alone over the identical stream (forced by a noop sink): the
   compute-dominant stage of ingest reaches **0.93** at N=2→4N=8 —
@@ -381,13 +395,19 @@ Input: `{s['sf']}`-scaled stream. Measured by `python bench.py --scaling`
 the timed region; final state verified non-empty each run).
 
 Why the design scales on a real cluster: per micro-batch the engine does
-(1) a column-pruned narrow aggregation to pick LWW winners — map-side
-combined, ~40 B/row shuffle, (2) a broadcast semi-join-back so html
-payloads are filtered in place and never shuffled, (3) Arrow-vectorized
-extraction only on winning rows, partitioned by key-hash bucket, (4) a
-bucket-pruned copy-on-write rewrite of touched buckets only. All four
-phases parallelize by input split / bucket count with no serial section
-except the O(1) snapshot commit (one JSON rename).
+(1) a column-pruned narrow aggregation to pick the batch's LWW winners —
+map-side combined, ~40 B/row shuffle, (2) a size-gated broadcast
+semi-join-back so html payloads are filtered in place and never shuffled,
+(3) one bucket-routing shuffle of the raw winners (html only — derived
+text is computed inside the write stage), (4) Arrow-vectorized extraction
+on winners, (5) a MERGE-ON-READ commit: only the batch's winners are
+written as per-bucket delta files — the existing table is neither read
+nor rewritten, so write amplification is O(batch) at any table size
+(copy-on-write bucket rewrites were the round-1 scaling bottleneck).
+Readers resolve LWW over base+deltas with a narrow argmax over contested
+keys; compact() folds deltas off the ingest path. All phases parallelize
+by input split / bucket count with no serial section except the O(1)
+snapshot commit (one JSON rename).
 """
         )
 

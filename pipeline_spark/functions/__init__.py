@@ -82,6 +82,10 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     (semantics of reference ``gen_simhash`` normalize.py:141-158, widened
     from 32 to 64 bits).
 
+    Hash = first 8 md5 digest bytes LITTLE-endian (== DuckDB's
+    ``md5_number_upper``, which makes the whole simhash oracle-expressible
+    in SQL — the endianness is just a fixed bit permutation, equally valid).
+
     numpy-vectorized per Arrow batch: each UNIQUE token is md5'd once,
     the 64 sign bits of all token hashes unpack into one ±1 matrix, and
     per-document bit sums are a single ``np.add.at`` scatter — no
@@ -105,7 +109,7 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     out = pd.array([None] * n, dtype="Int64")
     if uniq:
         hashes = np.fromiter(
-            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in uniq),
+            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little") for tok in uniq),
             dtype=np.uint64,
             count=len(uniq),
         )

@@ -103,8 +103,17 @@ class LakeTable:
         version_col: str = "warc_ts",
         n_buckets: int = 16,
         overwrite: bool = False,
+        resolution: str = "lww",
     ) -> "LakeTable":
-        """Create an empty table. ``schema`` is [(name, spark_ddl_type), ...]."""
+        """Create an empty table. ``schema`` is [(name, spark_ddl_type), ...].
+
+        ``resolution`` is the upsert conflict policy (reference
+        ``--jsonlmode`` insert-vs-upsert, reprocessor.py:77-97):
+        ``"lww"`` keeps the row with max (version_col, epoch, offset);
+        ``"first_wins"`` keeps the FIRST arrival per key (min (epoch,
+        offset) — insert-only / ON CONFLICT DO NOTHING semantics).
+        """
+        assert resolution in ("lww", "first_wins")
         meta_dir = os.path.join(path, META_DIR)
         if os.path.exists(meta_dir) and not overwrite:
             raise FileExistsError(f"table exists at {path}")
@@ -126,6 +135,7 @@ class LakeTable:
             "key": key,
             "version_col": version_col,
             "n_buckets": n_buckets,
+            "resolution": resolution,
             "files": [],
             "properties": {},
         }
@@ -323,36 +333,44 @@ class LakeTable:
             full = base.unionByName(delta)
         else:
             full = delta
-        # -seq in the max struct → on an exact (vcol, epoch, offset) tie
-        # (unfenced re-apply of the same event) the EARLIEST commit wins,
-        # preserving its already-derived columns.
-        ord_struct = F.struct(
-            F.col(vcol),
-            F.col(HIDDEN_EPOCH),
-            F.col(HIDDEN_OFFSET),
-            (-F.col(HIDDEN_SEQ)).alias("_ns"),
-        )
-        win = (
-            cand.groupBy(key)
-            .agg(F.max(ord_struct).alias("_w"))
-            .select(
-                F.col(key).alias("_wk"),
-                F.col(f"_w.{vcol}").alias("_wv"),
-                F.col(f"_w.{HIDDEN_EPOCH}").alias("_we"),
-                F.col(f"_w.{HIDDEN_OFFSET}").alias("_wo"),
-                (-F.col("_w._ns")).alias("_ws"),
+        if meta.get("resolution", "lww") == "first_wins":
+            # insert-only: earliest (epoch, offset, seq) per key wins
+            ord_struct = F.struct(F.col(HIDDEN_EPOCH), F.col(HIDDEN_OFFSET), F.col(HIDDEN_SEQ))
+            agg = F.min(ord_struct)
+            w_cols = [
+                (F.col(f"_w.{HIDDEN_EPOCH}"), "_we", F.col(HIDDEN_EPOCH)),
+                (F.col(f"_w.{HIDDEN_OFFSET}"), "_wo", F.col(HIDDEN_OFFSET)),
+                (F.col(f"_w.{HIDDEN_SEQ}"), "_ws", F.col(HIDDEN_SEQ)),
+            ]
+        else:
+            # LWW; -seq in the max struct → on an exact (vcol, epoch,
+            # offset) tie (unfenced re-apply of the same event) the
+            # EARLIEST commit wins, preserving its derived columns.
+            ord_struct = F.struct(
+                F.col(vcol),
+                F.col(HIDDEN_EPOCH),
+                F.col(HIDDEN_OFFSET),
+                (-F.col(HIDDEN_SEQ)).alias("_ns"),
             )
+            agg = F.max(ord_struct)
+            w_cols = [
+                (F.col(f"_w.{vcol}"), "_wv", F.col(vcol)),
+                (F.col(f"_w.{HIDDEN_EPOCH}"), "_we", F.col(HIDDEN_EPOCH)),
+                (F.col(f"_w.{HIDDEN_OFFSET}"), "_wo", F.col(HIDDEN_OFFSET)),
+                ((-F.col("_w._ns")), "_ws", F.col(HIDDEN_SEQ)),
+            ]
+        win = cand.groupBy(key).agg(agg.alias("_w")).select(
+            F.col(key).alias("_wk"), *[src.alias(name) for src, name, _ in w_cols]
         )
         if small:
             win = F.broadcast(win)
         j = full.join(win, F.col(key) == F.col("_wk"), "left")
-        keep = F.col("_wk").isNull() | (
-            (F.col(vcol) == F.col("_wv"))
-            & (F.col(HIDDEN_EPOCH) == F.col("_we"))
-            & (F.col(HIDDEN_OFFSET) == F.col("_wo"))
-            & (F.col(HIDDEN_SEQ) == F.col("_ws"))
-        )
-        return j.filter(keep).drop("_wk", "_wv", "_we", "_wo", "_ws")
+        cond = None
+        for _, name, row_col in w_cols:
+            c = row_col == F.col(name)
+            cond = c if cond is None else cond & c
+        keep = F.col("_wk").isNull() | cond
+        return j.filter(keep).drop("_wk", *[name for _, name, _ in w_cols])
 
     def scan(
         self,
@@ -551,7 +569,8 @@ class LakeTable:
         #     (size-gated broadcast) semi-join — never shuffled or sorted.
         # Sound because (epoch, offset) is the stream's total order →
         # (key, version, epoch, offset) is unique per row within a stream.
-        order_cols = [vcol, HIDDEN_EPOCH, HIDDEN_OFFSET]
+        first_wins = meta.get("resolution", "lww") == "first_wins"
+        order_cols = [HIDDEN_EPOCH, HIDDEN_OFFSET] if first_wins else [vcol, HIDDEN_EPOCH, HIDDEN_OFFSET]
         types = {f["name"]: f["type"] for f in cur_fields}
         narrow_src = batch.filter(valid).select(
             F.col(key).cast(types[key]).alias(key),
@@ -559,7 +578,9 @@ class LakeTable:
             F.col("epoch").cast("long").alias(HIDDEN_EPOCH),
             F.col("offset").cast("long").alias(HIDDEN_OFFSET),
         )
-        win = narrow_winners(narrow_src, [key], order_cols, salt_buckets=salt_buckets)
+        win = narrow_winners(
+            narrow_src, [key], order_cols, salt_buckets=salt_buckets, keep="min" if first_wins else "max"
+        )
         if broadcast_winners == "auto":
             win = win.localCheckpoint(eager=True)
             do_broadcast = win.count() <= AUTO_BROADCAST_MAX_WINNERS

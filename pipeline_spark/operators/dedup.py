@@ -83,24 +83,35 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _shingle_hash(col, i: int, hash_basis: str):
+    if hash_basis == "xxhash64":
+        return F.xxhash64(F.concat(col, F.lit(f"#{i}")))
+    # md5 basis: first 8 digest bytes big-endian as unsigned decimal —
+    # bit-identical to DuckDB's CAST('0x'||substr(md5(x),1,16) AS UBIGINT),
+    # which makes the whole MinHash+LSH pipeline oracle-expressible in SQL
+    assert hash_basis == "md5", hash_basis
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
 def minhash_signatures(
-    df: DataFrame, k: int = 32, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame, k: int = 32, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
-    """K min-hash values per doc: h_i = min(xxhash64(shingle || i)).
+    """K min-hash values per doc: h_i = min(hash(shingle || i)).
 
     One explode + one groupBy with K min() aggregates — partial aggregation
     keeps the shuffle at one row per (doc, K) regardless of doc length.
+    ``hash_basis="xxhash64"`` (default) is the fast JVM path;
+    ``"md5"`` trades ~2× hash cost for an exact DuckDB oracle twin.
     """
     sh = shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    aggs = [F.min(_shingle_hash(F.col("shingle"), i, hash_basis)).alias(f"mh{i}") for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, rows: int = 4, id_col: str = "doc_id"
+    sigs: DataFrame, bands: int = 8, rows: int = 4, id_col: str = "doc_id",
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs agreeing on all ``rows`` hashes of any band become
     a candidate pair. Band signatures are built as ONE array column and
@@ -109,9 +120,13 @@ def lsh_candidate_pairs(
     times. One shuffle keyed on (band, band-signature)."""
     k = bands * rows
     assert all(f"mh{i}" in sigs.columns for i in range(k)), "need mh0..mh{k-1}"
-    band_arr = F.array(
-        *[F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]) for b in range(bands)]
-    )
+    if hash_basis == "md5":
+        def band_key(b):
+            return F.md5(F.concat_ws("#", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]))
+    else:
+        def band_key(b):
+            return F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).cast("string")
+    band_arr = F.array(*[band_key(b) for b in range(bands)])
     buckets = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "bsig")
     ).localCheckpoint(eager=False)
@@ -133,12 +148,13 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates from banding, then exact
     Jaccard computed ONLY for the candidate pairs (semi-join pruned) — the
     verify cost is O(candidates × shingles), never O(docs²)."""
-    sigs = minhash_signatures(df, bands * rows, text_col, id_col, n)
-    cand = lsh_candidate_pairs(sigs, bands, rows, id_col)
+    sigs = minhash_signatures(df, bands * rows, text_col, id_col, n, hash_basis=hash_basis)
+    cand = lsh_candidate_pairs(sigs, bands, rows, id_col, hash_basis=hash_basis)
 
     sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

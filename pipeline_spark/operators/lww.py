@@ -56,15 +56,20 @@ def narrow_winners(
     keys: list[str],
     order_cols: list[str],
     salt_buckets: int = 0,
+    keep: str = "max",
 ) -> DataFrame:
-    """Per-key winning ``order_cols`` tuple via a NARROW argmax.
+    """Per-key winning ``order_cols`` tuple via a NARROW argmax/argmin.
 
     Aggregates only ``(keys, order_cols)`` — tens of bytes per row — so
     map-side partial aggregation pre-combines hot keys and the payload
     never enters the aggregation (the ObjectHashAggregate sort-fallback
     trap). ``salt_buckets>0`` opts into an explicit two-level salted
-    reduction for pathological in-partition skew.
+    reduction for pathological in-partition skew. ``keep="min"`` selects
+    the EARLIEST tuple instead (first-wins / insert-only semantics,
+    reference ON CONFLICT DO NOTHING, reprocessor.py:77-97).
     """
+    assert keep in ("max", "min")
+    agg = F.max if keep == "max" else F.min
     ord_struct = F.struct(*[F.col(c) for c in order_cols])
     narrow = df.select(*keys, *order_cols)
     if salt_buckets and salt_buckets > 1:
@@ -72,10 +77,10 @@ def narrow_winners(
         salted = narrow.withColumn(
             "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
         )
-        lvl1 = salted.groupBy(*keys, "_salt").agg(F.max(ord_struct).alias("_w"))
-        win = lvl1.groupBy(*keys).agg(F.max("_w").alias("_w"))
+        lvl1 = salted.groupBy(*keys, "_salt").agg(agg(ord_struct).alias("_w"))
+        win = lvl1.groupBy(*keys).agg(agg("_w").alias("_w"))
     else:
-        win = narrow.groupBy(*keys).agg(F.max(ord_struct).alias("_w"))
+        win = narrow.groupBy(*keys).agg(agg(ord_struct).alias("_w"))
     return win.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in order_cols])
 
 

@@ -46,14 +46,18 @@ def make_scores(blocking: Column, accuracy: Column, msg: Column) -> Column:
     )
 
 
-DEFAULT_SCORES = make_scores(F.lit(0.0), F.lit(0.0), F.lit("unscored"))
+def default_scores() -> Column:
+    """The dispatcher's fall-through (unknown test name → unscored,
+    accuracy 0 — reference core.py:1504-1510). Built lazily: column
+    literals need an active SparkSession."""
+    return make_scores(F.lit(0.0), F.lit(0.0), F.lit("unscored"))
 
 
 def score(
     df: DataFrame,
     dispatch_col: str,
     scorers: Mapping[str, Callable[[DataFrame], Column]],
-    default: Column = DEFAULT_SCORES,
+    default: Column | None = None,
     out_col: str = "scores",
 ) -> DataFrame:
     """Dispatch every row to its scorer by ``dispatch_col`` value.
@@ -63,6 +67,8 @@ def score(
     evaluates only the matching branch per row, and the whole stage is
     codegen'd — a 100 TB scan pays zero serde.
     """
+    if default is None:
+        default = default_scores()
     expr: Column | None = None
     for name, fn in scorers.items():
         cond = F.col(dispatch_col) == F.lit(name)

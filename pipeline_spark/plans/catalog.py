@@ -586,16 +586,85 @@ def word_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(d, threshold=0.6, n=1)
 
 
-@q("minhash_lsh_pairs", None)  # xxhash64 has no DuckDB twin → rows-only check
+@q("minhash_lsh_pairs", None)  # xxhash64 basis (fast path) has no DuckDB twin → rows-only check
 def minhash_pairs(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return D.minhash_dedup_pairs(d, threshold=0.6, bands=8, rows=4, n=1)
 
 
-@q("simhash_near_dups", None)  # md5-bit simhash UDF → rows-only check
+_MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
+_MH_SIG_SQL = ", ".join(
+    f"min(CAST(('0x' || substr(md5(s || '#{i}'), 1, 16)) AS UBIGINT)) AS mh{i}" for i in range(_MH_K)
+)
+_MH_BAND_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(CAST(mh{b * _MH_ROWS} AS VARCHAR) || '#' || "
+    f"CAST(mh{b * _MH_ROWS + 1} AS VARCHAR)) AS bkey FROM sig"
+    for b in range(_MH_BANDS)
+)
+
+
+@q(
+    "minhash_lsh_pairs_md5_oracle",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, unnest(w) AS s FROM docs),
+    sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM sh GROUP BY doc_id),
+    bk AS ({_MH_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+    """,
+)
+def minhash_pairs_md5(spark, sf):
+    """MinHash+LSH with a FULL value oracle: md5-basis hashing (first 8
+    digest bytes big-endian == DuckDB CAST('0x'||substr(md5,1,16) AS
+    UBIGINT)), so signatures, banding, candidate generation AND the exact
+    Jaccard verify are all replicated independently in SQL. The xxhash64
+    basis (minhash_lsh_pairs) stays the fast production path."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return D.minhash_dedup_pairs(
+        d, threshold=0.6, bands=_MH_BANDS, rows=_MH_ROWS, n=1, hash_basis="md5"
+    )
+
+
+@q(
+    "simhash_near_dups",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    h AS (
+      SELECT doc_id, list_transform(toks, tok -> md5_number_upper(tok)) AS hs, len(toks) AS n FROM t),
+    s AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(64), i ->
+          CASE WHEN 2 * len(list_filter(hs, x -> (x >> i) & 1 = 1)) > n
+               THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+               ELSE CAST(0 AS HUGEINT) END)) AS BIGINT) AS sim
+      FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+)
 def simhash_q(spark, sf):
-    # max_hamming=3 → 4×16-bit pigeonhole bands: the EXACT ≤d contract
-    # (d+1 bands cover d bit flips); wider radii need d+1 narrower bands
+    """SimHash near-dups with a FULL value oracle: the md5 feature hash is
+    little-endian first-8-bytes == DuckDB's md5_number_upper, so the
+    entire signature + banded ≤3-Hamming pair set is SQL-expressible.
+    max_hamming=3 → 4×16-bit pigeonhole bands: the EXACT ≤d contract
+    (d+1 bands cover d bit flips); wider radii need d+1 narrower bands."""
     from pipeline_spark.functions import simhash64_udf
 
     d = _t(spark, sf, "documents").select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))

@@ -63,3 +63,48 @@ def test_stream_matches_batch_fold(spark, tmp_path):
     # the flip is at the 6th point even though it spans two micro-batches:
     # state crossed the batch boundary
     assert got[0]["ts"] == datetime(2024, 1, 1, 0, 0, 5)
+
+
+def test_stream_group_larger_than_arrow_chunk(spark, tmp_path):
+    """A group bigger than arrow.maxRecordsPerBatch (512) arrives as
+    MULTIPLE pandas chunks in one micro-batch; rows are also written in
+    shuffled order. Folding chunks independently (the old bug) produces a
+    wrong mean — the fold must concat ALL chunks then sort once by time."""
+    import numpy as np
+
+    src = str(tmp_path / "bigsrc")
+    os.makedirs(src, exist_ok=True)
+    base = datetime(2024, 1, 1)
+    n = 1500  # ≈3 Arrow chunks at maxRecordsPerBatch=512
+    # values chosen so the EWMA crosses the upper threshold exactly once,
+    # late in the series — order-sensitive by construction
+    idx = np.arange(n)
+    vals = np.where(idx < 1200, 0.0, 1.0)
+    order = np.random.RandomState(7).permutation(n)  # shuffled file order
+    t = pa.table(
+        {
+            "key": ["k"] * n,
+            "ts": pa.array([base + timedelta(seconds=int(i)) for i in idx[order]], pa.timestamp("us")),
+            "value": vals[order].astype(float),
+        }
+    )
+    pq.write_table(t, os.path.join(src, "b0.parquet"))
+
+    stream = spark.readStream.schema(SCHEMA_DDL).parquet(src)
+    out = detect_changes_stream(stream, "key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_big")
+        .option("checkpointLocation", str(tmp_path / "ckpt_big"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ewma_big ORDER BY ts").collect()
+
+    df = spark.read.schema(SCHEMA_DDL).parquet(src).withColumnRenamed("key", "event_type")
+    exp = detect_changes_batch(df, keys=["event_type"], ts_col="ts", value_col="value").collect()
+    assert [(r["ts"], r["blocked"]) for r in got] == [(r["ts"], r["blocked"]) for r in sorted(exp, key=lambda r: r["ts"])]
+    for g, e in zip(got, sorted(exp, key=lambda r: r["ts"])):
+        assert g["mean"] == pytest.approx(e["mean"], abs=1e-12)

@@ -242,6 +242,41 @@ def test_scan_resolution_large_delta_regime(spark, tmp_path, spec, monkeypatch):
     assert_state_equal(as_pandas_state(t), exp)
 
 
+def test_first_wins_resolution_mode(spark, tmp_path, spec):
+    """resolution='first_wins' (insert-only / ON CONFLICT DO NOTHING,
+    reference reprocessor.py:77-97): the FIRST arrival per key sticks,
+    later updates — even with newer warc_ts — are ignored."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "fw"), PAGE_SCHEMA, key="url", version_col="warc_ts",
+        n_buckets=8, resolution="first_wins",
+    )
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    for e, pdf in enumerate(pdfs):
+        t.merge(spark_batch(spark, pdf), fence=("s", e))
+
+    # python first-wins oracle: min (epoch, offset) valid event per url
+    state = {}
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            if r.url is None or pd.isna(r.warc_ts):
+                continue
+            k = (r.epoch, r.offset)
+            if r.url not in state or k < state[r.url][0]:
+                state[r.url] = (k, r.op, r.warc_ts, r.html)
+    exp = {u: (ts, html) for u, (k, op, ts, html) in state.items() if op != "D"}
+    got = {r["url"]: (r["warc_ts"], bytes(r["html"]) if r["html"] is not None else None)
+           for r in t.read().select("url", "warc_ts", "html").collect()}
+    assert got.keys() == exp.keys()
+    for u in exp:
+        assert got[u][0] == pd.Timestamp(exp[u][0]).to_pydatetime() and got[u][1] == exp[u][1], u
+    # compaction preserves first-wins state
+    before = {u: v for u, v in got.items()}
+    t.compact()
+    after = {r["url"]: (r["warc_ts"], bytes(r["html"]) if r["html"] is not None else None)
+             for r in t.read().select("url", "warc_ts", "html").collect()}
+    assert after == before
+
+
 def test_commit_conflict_detected(spark, tmp_path):
     t = make_table(spark, tmp_path, "conflict")
     meta = t.meta()

@@ -64,7 +64,7 @@ def _simhash_naive(t: str) -> int:
     golden for the numpy implementation."""
     v = [0] * 64
     for tok in t.split():
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
         for i in range(64):
             v[i] += 1 if (h >> i) & 1 else -1
     out = 0

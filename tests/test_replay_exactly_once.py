@@ -104,3 +104,25 @@ def test_batch_replay_one_shot(spark, tmp_path, stream_dir, expected):
     lin = batch_replay(spark, stream_dir, t, salt_buckets=8)
     assert lin["rows_in"] > 0
     assert_state_equal(as_pandas_state(t), expected)
+
+
+def test_replay_with_inline_compaction(spark, tmp_path):
+    """compact_every folds merge-on-read deltas during the replay without
+    changing the final state (maintenance interleaved with ingest)."""
+    from pipeline_spark.datagen import StreamSpec, generate_epoch, lww_oracle, write_change_stream
+    from pipeline_spark.extraction import extract_text_py
+    from pipeline_spark.streaming import replay_stream
+    from tests.test_lake_merge import PAGE_SCHEMA, as_pandas_state, assert_state_equal
+
+    spec = StreamSpec(n_events=4_000, n_urls=200, n_epochs=4)
+    stream = str(tmp_path / "cstream")
+    write_change_stream(stream, spec)
+    t = LakeTable.create(spark, str(tmp_path / "cpages"), PAGE_SCHEMA, n_buckets=8)
+    replay_stream(
+        spark, stream, t, checkpoint=str(tmp_path / "cck"),
+        max_files_per_trigger=1, compact_every=2,
+    )
+    kinds = {f["kind"] for f in t.meta()["files"]}
+    assert "base" in kinds  # at least one inline compaction folded deltas
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
