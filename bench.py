@@ -358,8 +358,9 @@ streaming merge-apply replay at two parallelism levels on the same
 deterministic input (seed=42 CDC stream, {s['events']:,} events, 8 epochs,
 ≈7.5 KB Common-Crawl-shaped html bodies, `maxFilesPerTrigger=4`, shuffle
 partitions = cores, table `n_buckets` pinned to 64 at every level, JVM +
-Python-UDF warmup excluded from the timed region, best-of-3 wall time per
-level — the host is a shared VM whose available CPU swings between runs).
+Python-UDF warmup excluded from the timed region, best-of-N wall time per
+level — the host is a shared VM whose available CPU swings between runs;
+per-attempt times below show the spread).
 
 | N → 4N | full replay sec | events/sec | replay eff. | extract-stage eff. | host CPU control |
 |---|---|---|---|---|---|
@@ -373,10 +374,11 @@ shared VM the minimum is the least-contended attempt):
 {chr(10).join(f"* local[{k}]: {v}" for k, v in s.get("attempts_sec", {}).items())}
 
 * **extract-stage eff.** times the Arrow-vectorized HTML→text transform
-  alone over the identical stream (forced by a noop sink): the
-  compute-dominant stage of ingest reaches **0.93** at N=2→4N=8 —
-  ≥ 0.8, the criterion value — because Python UDF workers are separate
-  processes that scale with cores.
+  alone over the identical stream (forced by a noop sink) — the
+  compute-dominant stage of ingest (at 2 cores the full replay and the
+  extract stage take the same wall time within noise). Python UDF workers
+  are separate processes that scale with cores; this stage measured
+  0.82–0.93 at 2→8 across runs, reaching the ≥0.8 criterion value.
 * **host CPU control** is a pure multiprocessing spin loop (no Spark, no
   I/O) at the same process counts: this VM's parallel-speedup ceiling.
   vmstat during runs shows up to ~20% steal time and heavy kernel time at
@@ -387,8 +389,11 @@ shared VM the minimum is the least-contended attempt):
   per run through ONE disk and ONE memory bus shared by every thread —
   components that on a real 4× cluster scale with executor count (each
   executor brings its own disks, bus, and S3 connections) but cannot
-  scale inside a single box. Hence full-replay efficiency (0.57 at 2→8)
-  sits between the I/O floor and the compute ceiling (0.93).
+  scale inside a single box. Hence full-replay efficiency at 2→8 sits
+  between the single-box I/O floor and the compute ceiling. Round-over-
+  round: the merge-on-read rework lifted full-replay 2→8 efficiency from
+  0.565 (round 1, copy-on-write bucket rewrites) to ~0.75 (0.745/0.753
+  across two independent runs), with the replay now extraction-bound.
 
 Input: `{s['sf']}`-scaled stream. Measured by `python bench.py --scaling`
 (fresh subprocess per parallelism level; stream generation excluded from

@@ -108,3 +108,47 @@ def test_stream_group_larger_than_arrow_chunk(spark, tmp_path):
     assert [(r["ts"], r["blocked"]) for r in got] == [(r["ts"], r["blocked"]) for r in sorted(exp, key=lambda r: r["ts"])]
     for g, e in zip(got, sorted(exp, key=lambda r: r["ts"])):
         assert g["mean"] == pytest.approx(e["mean"], abs=1e-12)
+
+
+def test_live_tailing_rate_source(spark, tmp_path):
+    """S6: the same stateful operator tails a LIVE unbounded source (rate)
+    with a processing-time trigger — warmup (file replay, above) and live
+    mode share one code path. Asserts the query runs, checkpoints, and
+    emits the change-event schema."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            (F.col("value") % 3).cast("string").alias("key"),
+            F.col("timestamp").alias("ts"),
+            # values engineered to cross the 0.10 threshold quickly
+            F.when(F.col("value") % 10 < 9, 1.0).otherwise(0.0).alias("value"),
+        )
+    )
+    out = detect_changes_stream(src, "key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_live")
+        .option("checkpointLocation", str(tmp_path / "ckpt_live"))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 30
+        n = 0
+        while time.monotonic() < deadline:
+            n = spark.sql("SELECT count(*) FROM ewma_live").collect()[0][0]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0, "live stream produced no change events in 30s"
+        row = spark.sql("SELECT * FROM ewma_live LIMIT 1").collect()[0]
+        assert set(row.asDict()) == {"key", "ts", "mean", "blocked"}
+    finally:
+        q.stop()

@@ -62,3 +62,29 @@ def test_dim_swap_publish_validate_swap(spark, tmp_path):
     with pytest.raises(DimValidationError):
         dim.publish(spark.range(0, 0).selectExpr("id", "CAST(id AS STRING) AS name"))
     assert dim.current_version() == 2
+
+
+def test_backup_restore_incremental(spark, tmp_path):
+    """K9: base + incremental backup; restore reproduces the live state."""
+    from pipeline_spark.datagen import StreamSpec, generate_epoch
+    from pipeline_spark.lake.backup import backup_table, list_backups, restore_table
+    from tests.test_lake_merge import as_pandas_state, assert_state_equal, make_table, spark_batch
+
+    spec = StreamSpec(n_events=3_000, n_urls=150, n_epochs=2)
+    t = make_table(spark, tmp_path, "bk")
+    t.merge(spark_batch(spark, generate_epoch(spec, 0)))
+    tgt = str(tmp_path / "backups")
+    r1 = backup_table(t, tgt)
+    assert r1["files_copied"] == r1["files_total"] > 0
+
+    t.merge(spark_batch(spark, generate_epoch(spec, 1)))
+    r2 = backup_table(t, tgt)
+    # incremental: files from the first backup are not copied again
+    assert 0 < r2["files_copied"] < r2["files_total"]
+    assert list_backups(tgt) == [r1["version"], r2["version"]]
+
+    restored = restore_table(spark, tgt, str(tmp_path / "restored"))
+    assert_state_equal(as_pandas_state(restored), as_pandas_state(t))
+    # restoring the OLDER snapshot gives the older state
+    old = restore_table(spark, tgt, str(tmp_path / "restored_v1"), version=r1["version"])
+    assert old.current_version() == r1["version"]
