@@ -126,6 +126,40 @@ def tally_ratio_scorer(results_col: Column, is_failed) -> Column:
     return make_scores(blocking, F.when(total > 0, 1.0).otherwise(-1.0), msg)
 
 
+def flag_count_scorer(
+    consistency_flags: list[Column], anomaly_flags: list[Column], weight: float = 0.5
+) -> Column:
+    """Flag-count scorer (C1 shape, core.py:499-559): every FALSE
+    consistency flag and every TRUE anomaly flag adds ``weight`` to
+    blocking, capped at 1; nulls count as failed consistency (the
+    reference treats absent keys as inconsistent)."""
+    terms: Column = F.lit(0.0)
+    for c in consistency_flags:
+        terms = terms + F.when(c.isNull() | ~c, F.lit(weight)).otherwise(F.lit(0.0))
+    for a in anomaly_flags:
+        terms = terms + F.when(a.isNotNull() & a, F.lit(weight)).otherwise(F.lit(0.0))
+    blocking = F.least(F.lit(1.0), terms)
+    msg = F.concat(F.lit("flags_blocking="), F.round(blocking, 2).cast("string"))
+    return make_scores(blocking, F.lit(1.0), msg)
+
+
+def combined_ratio_scorer(parts: list[tuple[Column, "Callable[[Column], Column]"]]) -> Column:
+    """Multi-part ratio scorer (C2/C5 shape, core.py:581-657,797-905):
+    each part is (array column, is_failed predicate); blocking = mean of
+    the per-part failed/total ratios (empty parts contribute 0); accuracy
+    degrades to -1 only when EVERY part is empty."""
+    ratios: list[Column] = []
+    any_rows: Column = F.lit(False)
+    for arr, is_failed in parts:
+        total = F.size(arr).cast("double")
+        failed = F.size(F.filter(arr, is_failed)).cast("double")
+        ratios.append(F.when(total > 0, failed / total).otherwise(F.lit(0.0)))
+        any_rows = any_rows | (total > 0)
+    blocking = sum(ratios[1:], ratios[0]) / F.lit(float(len(parts)))
+    msg = F.concat(F.lit("parts="), F.lit(len(parts)).cast("string"))
+    return make_scores(blocking, F.when(any_rows, 1.0).otherwise(-1.0), msg)
+
+
 def confirmed_determination(scores_col: Column, fingerprint_hit: Column | None = None, threshold: float = 0.5) -> Column:
     """Final verdict from the scores struct (C20 analog, core.py:1517-1539):
     confirmed iff a fingerprint matched; anomaly iff blocking crosses the

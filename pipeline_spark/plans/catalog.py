@@ -1298,12 +1298,20 @@ def score_dispatch_q(spark, sf):
     event_type in ONE chained CASE, verdicts tallied per type."""
     from pipeline_spark.operators import scoring as SC
 
-    e = _t(spark, sf, "events")
-    k = _k_col()
+    # project the payload field ONCE: each CASE branch referencing the raw
+    # regexp would otherwise re-run the extraction per branch per row
+    e = _t(spark, sf, "events").withColumn("_k", _k_col())
+    k = F.col("_k")
+    failure = (
+        F.when(k % 4 == 0, F.lit("timeout"))
+        .when(k % 4 == 1, F.lit("connection_refused"))
+        .when(k % 4 == 2, F.lit("dns_nxdomain"))
+        .otherwise(F.lit("weird_edge"))
+    )
     got = F.slice(F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")), 1, (k % 4).cast("int"))
     results = F.sequence(F.lit(1), (F.lit(1) + k % 5).cast("int"))
     scorers = {
-        "error": lambda df: SC.failure_case_table_scorer(_failure_col(), _FAILURE_TABLE),
+        "error": lambda df: SC.failure_case_table_scorer(failure, _FAILURE_TABLE),
         "purchase": lambda df: SC.tally_ratio_scorer(results, lambda x: x > 2),
         "click": lambda df: SC.set_compare_scorer(["a", "b", "c"], got),
         "view": lambda df: SC.set_compare_scorer(["a", "b", "c"], got),
@@ -1311,6 +1319,94 @@ def score_dispatch_q(spark, sf):
     scored = SC.score(e, "event_type", scorers)
     verdict = SC.confirmed_determination(F.col("scores"), fingerprint_hit=(k == 77))
     return scored.select("event_type", verdict.alias("verdict")).groupBy("event_type", "verdict").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "score_flag_counts",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k, value FROM events WHERE event_type = 'signup')
+    SELECT event_id,
+           round(least(1.0, CAST(CASE WHEN k % 2 <> 0 THEN 0.5 ELSE 0 END
+                             + CASE WHEN value <= 10 THEN 0.5 ELSE 0 END
+                             + CASE WHEN k % 7 = 0 THEN 0.5 ELSE 0 END AS DOUBLE)), 6) AS blocking
+    FROM t
+    """,
+)
+def score_flag_counts_q(spark, sf):
+    """C1 shape: flag-count scorer (core.py:499-559) — false consistency
+    flags and true anomaly flags each add 0.5 blocking, capped at 1."""
+    from pipeline_spark.operators.scoring import flag_count_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "signup").withColumn("_k", _k_col())
+    s = flag_count_scorer(
+        consistency_flags=[F.col("_k") % 2 == 0, F.col("value") > 10],
+        anomaly_flags=[F.col("_k") % 7 == 0],
+    )
+    return e.select("event_id", F.round(s["blocking"], 6).alias("blocking"))
+
+
+@q(
+    "score_combined_ratios",
+    f"""
+    WITH t AS (SELECT event_id, 1 + ({_K}) % 4 AS m1,
+                      1 + CAST(floor(value) AS INT) % 3 AS m2
+               FROM events WHERE event_type = 'click')
+    SELECT event_id,
+           round((CAST(greatest(m1 - 2, 0) AS DOUBLE) / m1
+                + CAST(greatest(m2 - 1, 0) AS DOUBLE) / m2) / 2, 6) AS blocking
+    FROM t
+    """,
+)
+def score_combined_ratios_q(spark, sf):
+    """C2/C5 shape: multi-part ratio scorer (core.py:581-657,797-905) —
+    blocking = mean of per-part failed/total ratios over two nested
+    sub-result arrays, all higher-order functions, no explode."""
+    from pipeline_spark.operators.scoring import combined_ratio_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "click").withColumn("_k", _k_col())
+    p1 = F.sequence(F.lit(1), (F.lit(1) + F.col("_k") % 4).cast("int"))
+    p2 = F.sequence(F.lit(1), (F.lit(1) + F.floor(F.col("value")).cast("int") % 3).cast("int"))
+    s = combined_ratio_scorer([(p1, lambda x: x > 2), (p2, lambda x: x > 1)])
+    return e.select("event_id", F.round(s["blocking"], 6).alias("blocking"))
+
+
+@q(
+    "score_web_flagship",
+    f"""
+    WITH t AS (SELECT event_type, event_id, props, value, {_K} AS k FROM events),
+    s AS (
+      SELECT event_type,
+             CASE WHEN instr(props, '7') > 0 THEN true ELSE false END AS fp_hit,
+             least(1.0, CAST(value AS DOUBLE) / 200) AS blocking,
+             CASE WHEN k % 11 = 0 THEN -1.0 ELSE 1.0 END AS accuracy
+      FROM t)
+    SELECT event_type,
+           CASE WHEN fp_hit THEN 'confirmed'
+                WHEN accuracy >= 0 AND blocking >= 0.5 THEN 'anomaly'
+                WHEN accuracy < 0 THEN 'failed' ELSE 'ok' END AS verdict,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def score_web_flagship_q(spark, sf):
+    """C7 shape (the reference's flagship web_connectivity scorer,
+    core.py:957-1052): fingerprint containment → confirmed; probe-reported
+    blocking passthrough; accuracy gating; one verdict per record — the
+    full confirmed/anomaly/failed/ok lattice of C20 (core.py:1517-1539,
+    1598-1603)."""
+    from pipeline_spark.operators.scoring import confirmed_determination, make_scores
+
+    e = _t(spark, sf, "events").withColumn("_k", _k_col())
+    fp_hit = F.instr(F.col("props"), "7") > 0
+    scores = make_scores(
+        F.least(F.lit(1.0), F.col("value") / 200.0),
+        F.when(F.col("_k") % 11 == 0, -1.0).otherwise(1.0),
+        F.lit("probe_passthrough"),
+    )
+    verdict = confirmed_determination(scores, fingerprint_hit=fp_hit)
+    return e.select("event_type", verdict.alias("verdict")).groupBy("event_type", "verdict").agg(
         F.count(F.lit(1)).alias("n")
     )
 
