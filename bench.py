@@ -253,6 +253,7 @@ def main() -> None:
         # accumulate attempts across runs OF THE SAME PROFILE: on a shared
         # VM the best-of over more attempts is the least-contended sample;
         # every attempt stays disclosed in scaling.json / BASELINE.md
+        extract_attempts: dict[int, list[float]] = {k: [] for k in levels}
         if os.path.exists(SCALING_CACHE):
             prev = json.load(open(SCALING_CACHE))
             if prev.get("events") == n_events and prev.get("sf") == sf:
@@ -261,6 +262,8 @@ def main() -> None:
                     attempts[k].extend(old)
                     if old:
                         results[k] = min(old)
+                    old_ex = prev.get("extract_attempts_sec", {}).get(str(k), [])
+                    extract_attempts[k].extend(old_ex)
         for r in range(repeats):
             for k in levels:
                 t = replay_at(k)
@@ -273,12 +276,18 @@ def main() -> None:
                         capture_output=True, text=True, env=scale_env,
                     )
                     line = [ln for ln in p.stdout.splitlines() if ln.startswith("EXTRACT_SECONDS")]
-                    extract_stage[k] = float(line[0].split()[1]) if line else None
+                    if line:
+                        extract_attempts[k].append(round(float(line[0].split()[1]), 3))
+        # extract-stage times merge across runs like replay attempts do
+        for k in levels:
+            if extract_attempts[k]:
+                extract_stage[k] = min(extract_attempts[k])
 
         scaling = {
             "events": n_events,
             "sf": sf,
             "attempts_sec": {str(k): v for k, v in attempts.items()},
+            "extract_attempts_sec": {str(k): v for k, v in extract_attempts.items()},
             "pairs": [],
         }
         for lo, hi in pairs:
@@ -384,6 +393,10 @@ shared VM the minimum is the least-contended attempt):
 
 {chr(10).join(f"* local[{k}]: {v}" for k, v in s.get("attempts_sec", {}).items())}
 
+Extract-stage attempts (seconds):
+
+{chr(10).join(f"* local[{k}]: {v}" for k, v in s.get("extract_attempts_sec", {}).items())}
+
 * **extract-stage eff.** times the Arrow-vectorized HTML→text transform
   alone over the identical stream (forced by a noop sink) — the
   compute-dominant stage of ingest (at 2 cores the full replay and the
@@ -403,8 +416,9 @@ shared VM the minimum is the least-contended attempt):
   scale inside a single box. Hence full-replay efficiency at 2→8 sits
   between the single-box I/O floor and the compute ceiling. Round-over-
   round: the merge-on-read rework lifted full-replay 2→8 efficiency from
-  0.565 (round 1, copy-on-write bucket rewrites) to ~0.75 (0.745/0.753
-  across two independent runs), with the replay now extraction-bound.
+  0.565 (round 1, copy-on-write bucket rewrites) to ~0.74 over ten
+  disclosed attempts per level, with the replay now extraction-bound
+  (at 2 cores replay wall time ≈ the extract stage alone).
 
 Input: `{s['sf']}`-scaled stream. Measured by `python bench.py --scaling`
 (fresh subprocess per parallelism level; stream generation excluded from
