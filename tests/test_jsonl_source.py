@@ -63,3 +63,32 @@ def test_jsonl_timestamps_match_parquet(spark, tmp_path):
     for row in pdf.itertuples(index=False):
         exp = None if pd.isna(row.warc_ts) else row.warc_ts.to_pydatetime()
         assert got[row.offset] == exp, (row.offset, got[row.offset], exp)
+
+
+def test_tar_container_replay_matches_jsonl(spark, tmp_path):
+    """S4 container path: tar.gz-of-jsonl replay produces the identical
+    final state as the plain jsonl replay (and the LWW oracle)."""
+    from pipeline_spark.datagen import StreamSpec
+    from pipeline_spark.sources.container import read_container_changes, write_change_stream_tar
+
+    spec = StreamSpec(n_events=3_000, n_urls=150, n_epochs=2)
+    write_change_stream_tar(str(tmp_path / "cans"), spec, gz=True)
+
+    t = LakeTable.create(spark, str(tmp_path / "cpages"), PAGE_SCHEMA, n_buckets=8)
+    df = read_container_changes(spark, str(tmp_path / "cans"))
+    t.merge(df, post_merge=fill_text)
+
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+
+def test_tar_plain_and_line_counts(spark, tmp_path):
+    from pipeline_spark.datagen import StreamSpec, generate_epoch
+    from pipeline_spark.sources.container import read_tar_lines, write_change_stream_tar
+
+    spec = StreamSpec(n_events=600, n_urls=60, n_epochs=2)
+    write_change_stream_tar(str(tmp_path / "cans2"), spec, gz=False)
+    lines = read_tar_lines(spark, str(tmp_path / "cans2"))
+    n_exp = sum(len(generate_epoch(spec, e)) for e in range(spec.n_epochs))
+    assert lines.count() == n_exp
+    assert lines.select("src_container").distinct().count() == spec.n_epochs
