@@ -92,3 +92,34 @@ def test_tar_plain_and_line_counts(spark, tmp_path):
     n_exp = sum(len(generate_epoch(spec, e)) for e in range(spec.n_epochs))
     assert lines.count() == n_exp
     assert lines.select("src_container").distinct().count() == spec.n_epochs
+
+
+def test_yaml_blob_replay_and_broken_frames(spark, tmp_path):
+    """S5: ---framed YAML blobs parse per-frame with skip-and-count on
+    broken frames; the replay state equals the LWW oracle."""
+    from pipeline_spark.datagen import StreamSpec
+    from pipeline_spark.sources.yamlsrc import read_yaml_changes, write_change_stream_yaml
+
+    spec = StreamSpec(n_events=1_000, n_urls=80, n_epochs=2)
+    write_change_stream_yaml(str(tmp_path / "yblobs"), spec, broken_every=50)
+
+    df = read_yaml_changes(spark, str(tmp_path / "yblobs"))
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    n_rows = sum(len(p) for p in pdfs)
+    n_broken = df.agg({"_broken": "sum"}).collect()[0][0]
+    assert df.count() == n_rows  # every good frame parsed
+    assert n_broken == sum((len(p) + 49) // 50 for p in pdfs)  # every planted junk frame counted
+
+    t = LakeTable.create(spark, str(tmp_path / "ypages"), PAGE_SCHEMA, n_buckets=4)
+    t.merge(df.drop("_broken"), post_merge=fill_text)
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+
+def test_yaml_frame_splitter_tolerates_junk(spark):
+    from pipeline_spark.sources.yamlsrc import split_yaml_frames
+
+    blob = b"leading junk\n---\na: 1\n---\nb: 2\nmore: x\n---\n\xff\xfebroken bytes\n---\nc: 3"
+    frames = split_yaml_frames(blob)
+    assert len(frames) == 5  # junk prefix kept as a frame for the parser to reject
+    assert frames[2] == "b: 2\nmore: x\n"
+    assert frames[4] == "c: 3"
