@@ -49,6 +49,7 @@ def replay_stream(
     schema_ddl: str = SPARK_DDL,
     extract: str = "winners",
     compact_every: int = 0,
+    on_batch_committed=None,
 ) -> dict:
     """Replay all available change files into ``table``; returns counters.
 
@@ -61,6 +62,14 @@ def replay_stream(
 
     ``compact_every``: fold merge-on-read deltas into base every N batches
     (0 = never; run :meth:`LakeTable.compact` as separate maintenance).
+
+    ``on_batch_committed(batch_id, lineage, table)``: called after each
+    COMMITTED (non-fenced) merge — the change-propagation hook for
+    downstream consumers (the reference's NOTIFY/LISTEN bus,
+    detector.py:908-922, without a bus): e.g. fold ``table.changes()``
+    into an incremental aggregate, publish gauges. Skipped batches don't
+    fire it, so a consumer keyed on snapshot versions sees each commit
+    exactly once.
     Micro-batches are bounded (``maxFilesPerTrigger``), so the winner
     keyset always fits a broadcast — ``merge`` runs with
     ``broadcast_winners=True``; unbounded backfills go through
@@ -95,6 +104,8 @@ def replay_stream(
         else:
             counters["batches"] += 1
             counters["rows_in"] += lin["rows_in"]
+            if on_batch_committed is not None:
+                on_batch_committed(batch_id, lin, table)
         counters["elapsed_s"] = round(_time.monotonic() - t_start, 3)
         if counters["elapsed_s"] > 0:
             counters["events_per_sec"] = round(counters["rows_in"] / counters["elapsed_s"], 1)

@@ -52,3 +52,43 @@ def test_incremental_noop_delta(spark, tmp_path):
     state = incremental_refresh(t, None, ["lang"], _measures, since_version=0, until_version=v)
     again = incremental_refresh(t, state, ["lang"], _measures, since_version=v, until_version=v)
     assert _as_dict(state) == _as_dict(again)
+
+
+def test_streaming_replay_maintains_matview_per_batch(spark, tmp_path):
+    """K5 consumer pattern: the replay's on_batch_committed hook folds each
+    commit's changelog into the running aggregate; after the stream drains,
+    the incrementally-maintained state equals a full recompute — and a
+    fenced re-replay fires no hook calls."""
+    from pipeline_spark.datagen import StreamSpec, write_change_stream
+    from pipeline_spark.streaming import replay_stream
+    from tests.test_lake_merge import PAGE_SCHEMA
+
+    spec = StreamSpec(n_events=4_000, n_urls=200, n_epochs=4)
+    stream = str(tmp_path / "mstream")
+    write_change_stream(stream, spec)
+    t = LakeTable.create(spark, str(tmp_path / "mpages"), PAGE_SCHEMA, n_buckets=8)
+
+    holder = {"state": None, "since": t.current_version(), "calls": 0}
+
+    def on_commit(batch_id, lineage, table):
+        holder["calls"] += 1
+        holder["state"] = incremental_refresh(
+            table, holder["state"], ["lang"], _measures, since_version=holder["since"]
+        ).localCheckpoint(eager=True)
+        holder["since"] = table.current_version()
+
+    replay_stream(
+        spark, stream, t, checkpoint=str(tmp_path / "mck"),
+        max_files_per_trigger=1, on_batch_committed=on_commit,
+    )
+    assert holder["calls"] == spec.n_epochs
+    assert _as_dict(holder["state"]) == _as_dict(full_refresh(t, ["lang"], _measures))
+
+    # fenced re-replay: no commits → no hook firings → state untouched
+    before = _as_dict(holder["state"])
+    replay_stream(
+        spark, stream, t, checkpoint=str(tmp_path / "mck2"),
+        max_files_per_trigger=1, on_batch_committed=on_commit,
+    )
+    assert holder["calls"] == spec.n_epochs
+    assert _as_dict(holder["state"]) == before
