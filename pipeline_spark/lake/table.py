@@ -708,6 +708,42 @@ class LakeTable:
                     os.rmdir(sub[0])
         return {"snapshots_removed": len(all_versions) - len(keep_versions & set(all_versions)), "files_removed": removed_files}
 
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Change the key-hash bucket count (partition-spec evolution).
+
+        At 10^10 keys the create-time ``n_buckets`` eventually makes each
+        bucket too large for efficient merge-on-read resolution and
+        compaction; growing it must not require a new table. The bucket id
+        is DERIVED from the key (never stored per row), so re-bucketing is
+        one resolved read + one bucketed rewrite committed atomically —
+        concurrent readers keep their old snapshot, the next reader sees
+        the new layout. Old snapshots remain time-travelable because each
+        file entry carries its own bucket id (pruning on an old snapshot
+        keys off the CURRENT n_buckets, so time-travel scans of
+        pre-rebucket snapshots should pass ``buckets=None``).
+        """
+        assert new_n_buckets >= 1
+        meta = self.meta()
+        if new_n_buckets == meta["n_buckets"]:
+            return {"n_buckets": new_n_buckets, "rewritten": 0}
+        df = self.scan(with_hidden=True).withColumn(
+            "_b", F.pmod(F.xxhash64(F.col(meta["key"])), F.lit(new_n_buckets)).cast("int")
+        )
+        df = df.repartition(min(new_n_buckets, 256), F.col("_b"))
+        new_files = self._write_data(df, meta["schema_version"], kind="base")
+        new_meta = json.loads(json.dumps(meta))
+        new_meta["n_buckets"] = new_n_buckets
+        new_meta["files"] = new_files
+        new_meta["parent"] = meta["version"]
+        new_meta["version"] = meta["version"] + 1
+        self._publish(new_meta, new_meta["version"])
+        lin = {"action": "rebucket", "n_buckets": new_n_buckets, "snapshot_id": new_meta["version"]}
+        lp = os.path.join(self.path, LINEAGE_DIR, f"commit-{new_meta['version']:08d}.json")
+        with open(lp + ".tmp", "w") as f:
+            json.dump(lin, f)
+        os.rename(lp + ".tmp", lp)
+        return {"n_buckets": new_n_buckets, "rewritten": len(new_files)}
+
     def compact(self, target_files_per_bucket: int = 1) -> dict | None:
         """Fold delta files into base and rewrite fragmented buckets
         (small-file compaction — Iceberg ``rewrite_data_files`` analog,

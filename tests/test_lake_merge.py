@@ -358,3 +358,29 @@ def test_changelog_incremental_read(spark, tmp_path, spec):
     assert got_del == exp_del
     # empty delta when nothing changed
     assert t.changes(t.current_version()).count() == 0
+
+
+def test_rebucket_preserves_state_and_pruning(spark, tmp_path, spec):
+    """Growing n_buckets (partition-spec evolution) keeps the state
+    identical, subsequent merges route to the new layout, and point
+    lookups prune against the new bucket count."""
+    t = make_table(spark, tmp_path, "rb", buckets=4)
+    pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
+    t.merge(spark_batch(spark, pdfs[0]))
+    before = as_pandas_state(t)
+    r = t.rebucket(16)
+    assert r["n_buckets"] == 16 and t.meta()["n_buckets"] == 16
+    assert_state_equal(as_pandas_state(t), before)
+    assert max(f["bucket"] for f in t.meta()["files"]) > 3  # new layout in use
+
+    # merges after the rebucket land in 16-bucket space and stay correct
+    for pdf in pdfs[1:]:
+        t.merge(spark_batch(spark, pdf))
+    assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+    # point lookup prunes with the new bucket expr
+    url = lww_oracle(pdfs, extract_text_py)["url"].iloc[0]
+    b = spark.createDataFrame([(url,)], "url string").select(
+        t.bucket_expr(F.col("url")).alias("b")
+    ).collect()[0]["b"]
+    assert t.scan(buckets={b}).filter(F.col("url") == url).count() == 1
