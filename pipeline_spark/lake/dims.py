@@ -71,6 +71,8 @@ class DimSwap:
         tmp = self._current_link() + ".tmp"
         if os.path.lexists(tmp):
             os.unlink(tmp)
-        os.symlink(dest, tmp)
+        # absolute target: a relative `dest` would resolve relative to the
+        # symlink's own directory and point at a non-existent doubled path
+        os.symlink(os.path.abspath(dest), tmp)
         os.rename(tmp, self._current_link())  # atomic swap
         return {"version": v, "rows": n, "previous_rows": old_n}

@@ -290,7 +290,16 @@ class LakeTable:
                     if of["type"] != cf["type"]:
                         c = c.cast(cf["type"])
                     cols.append(c.alias(cf["name"]))
-            cols += [F.col(n) for n, _ in HIDDEN_FIELDS]
+            # hidden columns null-fill like any other on legacy files (a
+            # pre-_vc_seq file read under the explicit schema yields NULL
+            # seq); coalesce to sentinels so winner-tuple comparisons and
+            # tombstone filters stay deterministic on legacy data.
+            cols += [
+                F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)).alias(HIDDEN_DELETED),
+                F.coalesce(F.col(HIDDEN_EPOCH), F.lit(0)).alias(HIDDEN_EPOCH),
+                F.coalesce(F.col(HIDDEN_OFFSET), F.lit(0)).alias(HIDDEN_OFFSET),
+                F.coalesce(F.col(HIDDEN_SEQ), F.lit(0)).alias(HIDDEN_SEQ),
+            ]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -300,7 +309,11 @@ class LakeTable:
     #: broadcast the merge-on-read resolve state only while the delta row
     #: count (a free upper bound on distinct delta keys, from file
     #: metadata) stays small; above it, plain joins + AQE decide.
-    AUTO_BROADCAST_DELTA_ROWS = 4_000_000
+    #: 1M rows × ~60 B narrow winner tuple ≈ 60 MB broadcast best case,
+    #: but the tuple carries the key + version col, so a wide key (long
+    #: URL) can reach ~250 B/row ≈ 250 MB worst case — 1M keeps the
+    #: worst case inside a sane executor-memory envelope.
+    AUTO_BROADCAST_DELTA_ROWS = 1_000_000
 
     def _resolve_mor(self, meta: dict, base_files: list[dict], delta_files: list[dict]) -> DataFrame:
         """Merge-on-read LWW resolution over base + delta files.
@@ -367,7 +380,9 @@ class LakeTable:
         j = full.join(win, F.col(key) == F.col("_wk"), "left")
         cond = None
         for _, name, row_col in w_cols:
-            c = row_col == F.col(name)
+            # eqNullSafe: a NULL hidden field (legacy file formats) must
+            # not NULL out the predicate and silently drop the winner.
+            c = row_col.eqNullSafe(F.col(name))
             cond = c if cond is None else cond & c
         keep = F.col("_wk").isNull() | cond
         return j.filter(keep).drop("_wk", *[name for _, name, _ in w_cols])
@@ -475,7 +490,7 @@ class LakeTable:
         extra_lineage: dict | None = None,
         salt_buckets: int = 0,
         post_merge=None,
-        broadcast_winners: bool | str = True,
+        broadcast_winners: bool | str = "auto",
     ) -> dict | None:
         """LWW MERGE of a CDC batch into the table (merge-on-read).
 
@@ -501,9 +516,11 @@ class LakeTable:
 
         ``broadcast_winners``: join-strategy size gate for the winner
         keyset (see :func:`pipeline_spark.operators.lww.lww_latest_semi`).
-        ``True`` (default) fits bounded micro-batches; pass ``"auto"`` or
-        ``False`` for unbounded historical backfills whose winner set may
-        exceed broadcast limits.
+        ``"auto"`` (default — safe for any batch size) counts the winner
+        set once and broadcasts only when it fits; callers with a KNOWN
+        bound (e.g. ``maxFilesPerTrigger``-capped micro-batches) pass
+        ``True`` to skip the count job, and a 10^10-key backfill through
+        the default never funnels the keyset through the driver.
 
         ``post_merge``: optional DataFrame→DataFrame transform applied to
         the winning rows just before the write — the hook for derived
@@ -544,12 +561,23 @@ class LakeTable:
             F.max("offset").alias("end_offset"),
         )
 
+        # Tombstones carry NO payload: a delete row only needs (key, vcol,
+        # hidden cols) to win LWW and mark the key deleted — nulling every
+        # other user column cuts the bytes shuffled + written per delete
+        # from multi-KB (html) to ~tens of bytes. scan() never surfaces
+        # tombstone payloads anyway (deleted rows are filtered / only the
+        # delete fact is visible through changes()).
+        is_delete = F.col("op") == F.lit("D")
         proj = []
         for f in cur_fields:
-            if f["name"] in batch_cols:
+            if f["name"] not in batch_cols:
+                proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            elif f["name"] in (key, vcol):
                 proj.append(F.col(f["name"]).cast(f["type"]).alias(f["name"]))
             else:
-                proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                proj.append(
+                    F.when(is_delete, F.lit(None)).otherwise(F.col(f["name"])).cast(f["type"]).alias(f["name"])
+                )
         proj += [
             (F.col("op") == F.lit("D")).alias(HIDDEN_DELETED),
             F.col("epoch").cast("long").alias(HIDDEN_EPOCH),
@@ -658,18 +686,28 @@ class LakeTable:
         """
         until = self.current_version() if until_version is None else until_version
         old_meta, new_meta = self.meta(since_version), self.meta(until)
-        old_files = {b: set() for b in range(new_meta["n_buckets"])}
-        for f in old_meta["files"]:
-            old_files.setdefault(f["bucket"], set()).add(f["path"])
-        changed_buckets = set()
-        for f in new_meta["files"]:
-            if f["path"] not in old_files.get(f["bucket"], set()):
-                changed_buckets.add(f["bucket"])
+        if old_meta["n_buckets"] != new_meta["n_buckets"]:
+            # a rebucket() happened in the window: bucket ids in the two
+            # snapshots live in DIFFERENT hash spaces, so bucket pruning
+            # would compare apples to oranges (a shrink would silently
+            # drop old buckets >= new n_buckets from the before-side and
+            # re-emit their unchanged rows as phantom upserts). Read both
+            # snapshots unpruned; the anti-join still yields exact changes.
+            changed_buckets = old_buckets = None
+        else:
+            old_files = {b: set() for b in range(new_meta["n_buckets"])}
+            for f in old_meta["files"]:
+                old_files.setdefault(f["bucket"], set()).add(f["path"])
+            changed_buckets = set()
+            for f in new_meta["files"]:
+                if f["path"] not in old_files.get(f["bucket"], set()):
+                    changed_buckets.add(f["bucket"])
+            old_buckets = changed_buckets
         key = new_meta["key"]
         vcol = new_meta["version_col"]
         join_cols = [key, vcol, HIDDEN_EPOCH, HIDDEN_OFFSET]
         new = self.scan(buckets=changed_buckets, with_hidden=True, version=until)
-        old = self.scan(buckets=changed_buckets, with_hidden=True, version=since_version).select(*join_cols)
+        old = self.scan(buckets=old_buckets, with_hidden=True, version=since_version).select(*join_cols)
         delta = new.join(old, on=join_cols, how="left_anti")
         return delta.withColumn(
             "_change_type", F.when(F.col(HIDDEN_DELETED), F.lit("delete")).otherwise(F.lit("upsert"))
@@ -744,17 +782,33 @@ class LakeTable:
         os.rename(lp + ".tmp", lp)
         return {"n_buckets": new_n_buckets, "rewritten": len(new_files)}
 
-    def compact(self, target_files_per_bucket: int = 1) -> dict | None:
+    def compact(
+        self,
+        target_files_per_bucket: int = 1,
+        purge_tombstones_before_epoch: int | None = None,
+    ) -> dict | None:
         """Fold delta files into base and rewrite fragmented buckets
         (small-file compaction — Iceberg ``rewrite_data_files`` analog,
         the background merge of ReplacingMergeTree, ``db.py:82-84``).
 
         Victims = every bucket holding a delta file, plus buckets with more
         than ``target_files_per_bucket`` base files. Each victim bucket is
-        LWW-resolved (tombstones retained — resurrection protection needs
-        them) and rewritten as a single base file; subsequent scans of the
-        bucket skip merge-on-read resolution entirely. Maintenance only —
-        never on the ingest critical path."""
+        LWW-resolved and rewritten as a single base file; subsequent scans
+        of the bucket skip merge-on-read resolution entirely. Maintenance
+        only — never on the ingest critical path.
+
+        Tombstone GC: by default tombstones are RETAINED — they are what
+        stops a late/duplicate merge of an older event from resurrecting a
+        deleted key. At 10^10 keys with churn that grows the base without
+        bound, so ``purge_tombstones_before_epoch=E`` drops tombstones with
+        ``_vc_epoch <= E`` during the rewrite. The caller's contract: every
+        write stream's fence must already be past epoch ``E`` (fenced
+        replays of epochs <= E are skipped before any merge work, so no
+        event old enough to be outraced by a purged tombstone can ever be
+        applied again). Tombstones in non-victim buckets purge on a later
+        compaction — GC is lazy, like the rest of this path. Time travel to
+        snapshots older than the compaction still resolves deletes
+        correctly (old snapshots read the old files)."""
         meta = self.meta()
         base_count: dict[int, int] = {}
         victims: set[int] = set()
@@ -766,9 +820,12 @@ class LakeTable:
         victims |= {b for b, n in base_count.items() if n > target_files_per_bucket}
         if not victims:
             return None
-        df = self.scan(buckets=victims, with_hidden=True).withColumn(
-            "_b", self.bucket_expr(F.col(meta["key"]))
-        )
+        df = self.scan(buckets=victims, with_hidden=True)
+        if purge_tombstones_before_epoch is not None:
+            df = df.filter(
+                ~(F.col(HIDDEN_DELETED) & (F.col(HIDDEN_EPOCH) <= F.lit(purge_tombstones_before_epoch)))
+            )
+        df = df.withColumn("_b", self.bucket_expr(F.col(meta["key"])))
         df = df.repartition(len(victims), F.col("_b"))
         new_files = self._write_data(df, meta["schema_version"], kind="base")
         self._commit_files(meta, new_files, victims, lineage={"action": "compact", "buckets": len(victims)})

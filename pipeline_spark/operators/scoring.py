@@ -160,6 +160,195 @@ def combined_ratio_scorer(parts: list[tuple[Column, "Callable[[Column], Column]"
     return make_scores(blocking, F.when(any_rows, 1.0).otherwise(-1.0), msg)
 
 
+def bootstrap_progress_scorer(
+    log_col: Column,
+    progress_col: Column,
+    success_markers: list[str],
+    rate: float = 0.004,
+) -> Column:
+    """Bootstrap-progress scorer (C6, the vanilla_tor formula —
+    core.py:908-940): a null log is an unknown client bug (unscored,
+    accuracy 0); a log containing any success marker scores 0 blocking;
+    otherwise blocking = 1 − clamp(progress, 0, 100) × ``rate`` (an 80%
+    bootstrap under throttling → 0.68)."""
+    success: Column = F.lit(False)
+    for m in success_markers:
+        success = success | (F.instr(log_col, m) > 0)
+    progress = F.least(F.lit(100.0), F.greatest(F.lit(0.0), progress_col.cast("double")))
+    blocking = (
+        F.when(log_col.isNull(), F.lit(0.0))
+        .when(success, F.lit(0.0))
+        .otherwise(F.lit(1.0) - progress * F.lit(rate))
+    )
+    accuracy = F.when(log_col.isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
+    msg = (
+        F.when(log_col.isNull(), F.lit("missing log"))
+        .when(success, F.lit("bootstrapped"))
+        .otherwise(F.concat(F.lit("progress="), progress.cast("int").cast("string")))
+    )
+    return make_scores(blocking, accuracy, msg)
+
+
+def response_check_scorer(responses_col: Column, server_prefix: str = "ECAcc ") -> Column:
+    """Per-response status+header-prefix check (C11, the meek scorer —
+    core.py:1154-1194): no responses → blocked and unscorable; any missing
+    response or non-200 code → blocking 1; otherwise each 200 response
+    whose Server header does not start with ``server_prefix`` adds 0.5.
+    ``responses_col`` is array<struct<code:int, server:string>>; a NULL
+    element models the reference's "response is None" probe error."""
+    n = F.size(responses_col)
+    any_null = F.exists(responses_col, lambda r: r.isNull())
+    any_bad_code = F.exists(
+        responses_col, lambda r: r.isNotNull() & (F.coalesce(r["code"], F.lit(0)) != 200)
+    )
+    n_bad_server = F.size(
+        F.filter(
+            responses_col,
+            lambda r: r.isNotNull()
+            & (F.coalesce(r["code"], F.lit(0)) == 200)
+            & ~F.startswith(F.coalesce(r["server"], F.lit("")), F.lit(server_prefix)),
+        )
+    ).cast("double")
+    blocking = (
+        F.when(n == 0, F.lit(1.0))
+        .when(any_null | any_bad_code, F.lit(1.0))
+        .otherwise(F.lit(0.5) * n_bad_server)
+    )
+    accuracy = F.when(n == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    msg = (
+        F.when(n == 0, F.lit("no requests"))
+        .when(any_null, F.lit("missing response"))
+        .when(any_bad_code, F.lit("non-200 response"))
+        .otherwise(F.concat(F.lit("bad_server="), n_bad_server.cast("int").cast("string")))
+    )
+    return make_scores(blocking, accuracy, msg)
+
+
+def match_flags_scorer(flags: list[Column], failed: Column) -> Column:
+    """Control-vs-experiment match-flag scorer (C14, the legacy
+    http_requests scorer — core.py:1287-1332): a control/experiment failure
+    or any missing match flag makes the measurement unusable (accuracy 0);
+    otherwise reachable = all flags true, and not-reachable → blocking 1.
+    (The fingerprint-confirmation tail of the reference scorer is the
+    C17/C18 fingerprint joins composed downstream.)"""
+    any_null: Column = F.lit(False)
+    all_true: Column = F.lit(True)
+    for c in flags:
+        any_null = any_null | c.isNull()
+        all_true = all_true & F.coalesce(c, F.lit(False))
+    unusable = failed | any_null
+    blocking = F.when(unusable, F.lit(0.0)).when(~all_true, F.lit(1.0)).otherwise(F.lit(0.0))
+    accuracy = F.when(unusable, F.lit(0.0)).otherwise(F.lit(1.0))
+    msg = (
+        F.when(unusable, F.lit("incorrect measurement"))
+        .when(~all_true, F.lit("mismatch"))
+        .otherwise(F.lit("match"))
+    )
+    return make_scores(blocking, accuracy, msg)
+
+
+def version_key(v: Column) -> Column:
+    """Sortable dotted-version key: each numeric segment zero-padded to 5
+    digits ('0.2.2' → '00000.00002.00002'), so plain string comparison
+    orders like the reference's parse_version (core.py:1354-1366) for
+    segments < 100000."""
+    return F.array_join(F.transform(F.split(v, r"\."), lambda s: F.lpad(s, 5, "0")), ".")
+
+
+def _version_key_literal(v: str) -> str:
+    return ".".join(seg.zfill(5) for seg in v.split("."))
+
+
+def status_gate_scorer(
+    status_col: Column,
+    failure_gate: Column,
+    version_col: Column | None = None,
+    min_version: str | None = None,
+    cutoff_gate: Column | None = None,
+    blocked_value: str = "blocked",
+    ok_value: str = "ok",
+) -> Column:
+    """Version-gated backend-status scorer (C15, the signal scorer —
+    core.py:1344-1378): ``failure_gate`` true → unusable; probes older than
+    ``min_version`` measuring after the backend change (``cutoff_gate``)
+    are unusable (the reference's ooni/probe#2344 patch); status ``ok`` →
+    fine, ``blocked`` → blocking 1, anything else → unusable."""
+    unusable = failure_gate
+    if version_col is not None and min_version is not None:
+        too_old = version_key(version_col) < F.lit(_version_key_literal(min_version))
+        gated = too_old & (cutoff_gate if cutoff_gate is not None else F.lit(True))
+        unusable = unusable | gated
+    blocking = F.when(status_col == F.lit(blocked_value), F.lit(1.0)).otherwise(F.lit(0.0))
+    accuracy = (
+        F.when(unusable, F.lit(0.0))
+        .when(status_col.isin(ok_value, blocked_value), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    msg = (
+        F.when(unusable, F.lit("unusable"))
+        .when(status_col == F.lit(blocked_value), F.lit(blocked_value))
+        .otherwise(F.coalesce(status_col, F.lit("unknown")))
+    )
+    return make_scores(blocking, accuracy, msg)
+
+
+def zip_compare_scorer(sent_col: Column, received_col: Column) -> Column:
+    """Positional sent-vs-received compare (C4, the http_invalid_request_line
+    scorer — core.py:732-763): both lists empty → unusable (accuracy 0);
+    any positional mismatch within the zipped prefix (zip truncates to the
+    shorter list, so trailing extras are ignored) → blocking 1."""
+    n = F.least(F.size(sent_col), F.size(received_col))
+    pairs_differ = F.exists(
+        F.zip_with(
+            F.slice(sent_col, F.lit(1), n),
+            F.slice(received_col, F.lit(1), n),
+            lambda s, r: ~s.eqNullSafe(r),
+        ),
+        lambda x: x,
+    )
+    empty = (F.size(sent_col) == 0) & (F.size(received_col) == 0)
+    blocking = F.when(~empty & pairs_differ, F.lit(1.0)).otherwise(F.lit(0.0))
+    accuracy = F.when(empty, F.lit(0.0)).otherwise(F.lit(1.0))
+    msg = (
+        F.when(empty, F.lit("empty"))
+        .when(pairs_differ, F.lit("tampering"))
+        .otherwise(F.lit("match"))
+    )
+    return make_scores(blocking, accuracy, msg)
+
+
+def bootstrap_failure_scorer(
+    failure_col: Column, bootstrap_time_col: Column, resolver_ok: Column | None = None
+) -> Column:
+    """Failure/bootstrap scorer (C12, the psiphon scorer —
+    core.py:1196-1230): null failure with bootstrap_time 0 is an invalid
+    measurement (accuracy 0); null failure with a real bootstrap is a
+    success; a failure (bootstrap or runtime) → blocking 1; a missing
+    resolver_ip (``resolver_ok`` false) voids accuracy."""
+    bt = F.coalesce(bootstrap_time_col.cast("double"), F.lit(0.0))
+    broken = failure_col.isNull() & (bt == 0)
+    blocking = F.when(failure_col.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    accuracy = F.when(broken, F.lit(0.0)).otherwise(F.lit(1.0))
+    if resolver_ok is not None:
+        accuracy = F.when(~resolver_ok, F.lit(0.0)).otherwise(accuracy)
+    msg = (
+        F.when(broken, F.lit("invalid measurement"))
+        .when(failure_col.isNotNull(), F.coalesce(failure_col.cast("string"), F.lit("failure")))
+        .otherwise(F.lit("success"))
+    )
+    return make_scores(blocking, accuracy, msg)
+
+
+def gate_false_positive(scores_col: Column, gate: Column, msg: str = "known_client_bug") -> Column:
+    """Known-client-bug override (the C5 whatsapp version patch,
+    core.py:840-848): when ``gate`` holds (e.g. an affected software_version
+    reporting 'blocked'), the blocking signal is a false positive — collapse
+    it to 0 while keeping the scorer's accuracy."""
+    return F.when(
+        gate, make_scores(F.lit(0.0), scores_col["accuracy"], F.lit(msg))
+    ).otherwise(scores_col)
+
+
 def confirmed_determination(scores_col: Column, fingerprint_hit: Column | None = None, threshold: float = 0.5) -> Column:
     """Final verdict from the scores struct (C20 analog, core.py:1517-1539):
     confirmed iff a fingerprint matched; anomaly iff blocking crosses the

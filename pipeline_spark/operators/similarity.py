@@ -63,6 +63,17 @@ def bucket_ids(emb: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _infer_dim(df: DataFrame, emb_col: str) -> int:
+    """Fallback embedding-dim inference — costs one extra Spark job and a
+    driver hop, so hot paths should pass ``dim`` explicitly."""
+    row = df.select(emb_col).filter(F.col(emb_col).isNotNull()).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-null '{emb_col}' rows; pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,6 +83,7 @@ def lsh_ann_topk(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing an LSH bucket with
@@ -80,8 +92,11 @@ def lsh_ann_topk(
     neighbor buckets of each table). Recall/cost is tuned by
     (n_planes, n_tables): more planes → smaller buckets, more tables →
     higher recall. Candidate generation is one equi-join per table keyed
-    on (table, bucket) — linear, never quadratic."""
-    dim = len(corpus.select(emb_col).first()[0])
+    on (table, bucket) — linear, never quadratic. Pass ``dim`` (the
+    embedding length) to keep the plan fully lazy — omitting it costs an
+    extra inference job."""
+    if dim is None:
+        dim = _infer_dim(corpus, emb_col)
     c_parts, q_parts = [], []
     for t in range(n_tables):
         planes = _planes(n_planes, dim, seed + 1000 * t)
@@ -162,7 +177,7 @@ def embedding_near_dup_pairs(
         )
     assert method == "lsh", method
     if dim is None:
-        dim = len(df.select(emb_col).first()[0])
+        dim = _infer_dim(df, emb_col)
     parts = []
     for t in range(n_tables):
         planes = _planes(n_planes, dim, seed + 1000 * t)

@@ -701,7 +701,7 @@ def emb_ann(spark, sf):
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_ann_topk(emb, queries, k=5, n_planes=4, n_tables=4)
+    return S.lsh_ann_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)
 
 
 @q(
@@ -1130,7 +1130,7 @@ def nested_tally(spark, sf):
     SELECT 'U' AS op,
            'https://u/' || CAST(user_id AS VARCHAR) AS url,
            ts AS warc_ts,
-           encode(props) AS html,
+           hex(encode(props)) AS html_hex,
            event_type AS lang,
            CAST(user_id % 3 AS BIGINT) AS epoch,
            CAST(event_id AS BIGINT) AS "offset",
@@ -1159,8 +1159,13 @@ def jsonl_normalize_q(spark, sf):
     )
     lines = e.select(F.to_json(F.struct(F.lit("json").alias("format"), rec.alias("content"))).alias("value"))
     out = normalize_enveloped(lines, "value")
+    # hex, not raw binary: the driver's pandas canonicalizer can't hash
+    # bytearray cells (CORRECTNESS_r02 TypeError) — and a hex string is
+    # just as strong a byte-identity check on both sides.
     return out.select(
-        "op", "url", "warc_ts", "html", "lang", "epoch", "offset",
+        "op", "url", "warc_ts",
+        F.hex("html").alias("html_hex"),
+        "lang", "epoch", "offset",
         F.size("extra").cast("long").alias("n_extra"),
     )
 
@@ -1421,3 +1426,240 @@ def trivial_id_q(spark, sf):
         "doc_id",
         trivial_id_udf(F.lit("20240101"), F.encode(F.col("text"), "UTF-8")).alias("trivial_id"),
     )
+
+
+# =====================================================================
+# Concrete scorer parameterizations (C4/C5/C6/C11/C12/C14/C15) — the
+# remaining entries of the reference's scorer dispatch dict, each with a
+# full DuckDB value oracle. Inputs are synthesized deterministically from
+# the events payload key k on BOTH sides.
+# =====================================================================
+
+
+@q(
+    "score_vanilla_bootstrap",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k FROM events WHERE event_type = 'view')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 5 IN (0, 1, 2) THEN 0.0
+                 ELSE 1.0 - least(100, greatest(0, (k % 130) - 10)) * 0.004 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN k % 5 = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_vanilla_q(spark, sf):
+    """C6: vanilla_tor bootstrap-progress formula (core.py:908-940) —
+    null log → unscored; success marker → 0; else 1 − clamp(progress)×0.004
+    (progress is synthesized over [-10, 119] so both clamps are exercised)."""
+    from pipeline_spark.operators.scoring import bootstrap_progress_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "view").withColumn("_k", _k_col())
+    k = F.col("_k")
+    log = (
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .when(k % 5 == 1, F.lit("x Bootstrapped 100%: Done y"))
+        .when(k % 5 == 2, F.lit("x Bootstrapped 100% (done): Done y"))
+        .otherwise(F.lit("Bootstrapping in progress"))
+    )
+    progress = (k % 130) - 10
+    s = bootstrap_progress_scorer(
+        log, progress, ["Bootstrapped 100%: Done", "Bootstrapped 100% (done): Done"]
+    )
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
+
+
+@q(
+    "score_meek_responses",
+    f"""
+    WITH t AS (SELECT event_id, ({_K}) % 5 AS m FROM events WHERE event_type = 'error')
+    SELECT event_id,
+           round(CAST(CASE m WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 1.0
+                             WHEN 3 THEN 0.5 ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN m = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_meek_q(spark, sf):
+    """C11: meek status + Server-header-prefix check (core.py:1154-1194) —
+    empty requests → blocked+unscorable; a missing response or non-200 →
+    blocked; each 200 whose Server lacks the CDN prefix adds 0.5."""
+    from pipeline_spark.operators.scoring import response_check_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "error").withColumn("_k", _k_col())
+    m = F.col("_k") % 5
+    resp_t = "struct<code:int,server:string>"
+
+    def r(code, server):
+        return F.struct(F.lit(code).cast("int").alias("code"), F.lit(server).alias("server"))
+
+    null_resp = F.lit(None).cast(resp_t)
+    responses = (
+        F.when(m == 0, F.array().cast(f"array<{resp_t}>"))
+        .when(m == 1, F.array(null_resp, r(200, "ECAcc x")))
+        .when(m == 2, F.array(r(404, "ECAcc x")))
+        .when(m == 3, F.array(r(200, "nginx"), r(200, "ECAcc y")))
+        .otherwise(F.array(r(200, "ECAcc a"), r(200, "ECAcc b")))
+    )
+    s = response_check_scorer(responses, server_prefix="ECAcc ")
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
+
+
+@q(
+    "score_http_requests_legacy",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k FROM events WHERE event_type = 'purchase')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 7 = 0 OR k % 4 = 0 THEN 0.0
+                           WHEN k % 4 = 2 OR k % 3 = 0 THEN 1.0
+                           ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN k % 7 = 0 OR k % 4 = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_http_requests_q(spark, sf):
+    """C14: legacy http_requests match-flag scorer (core.py:1287-1332) —
+    control/experiment failure or a missing match flag → unusable;
+    otherwise !(body_length_match AND headers_match) → blocking 1. (The
+    reference's fingerprint-confirmation tail is the C17/C18 joins.)"""
+    from pipeline_spark.operators.scoring import match_flags_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase").withColumn("_k", _k_col())
+    k = F.col("_k")
+    body_len_match = F.when(k % 4 == 0, F.lit(None).cast("boolean")).otherwise(k % 4 != 2)
+    headers_match = k % 3 != 0
+    failed = k % 7 == 0
+    s = match_flags_scorer([body_len_match, headers_match], failed)
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
+
+
+@q(
+    "score_signal_version_gated",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k, value FROM events WHERE event_type = 'signup')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 3 = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN k % 11 = 0 OR (k % 2 = 0 AND value >= 50) THEN 0.0
+                           WHEN k % 3 IN (0, 1) THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_signal_q(spark, sf):
+    """C15: version-gated signal backend-status scorer (core.py:1344-1378)
+    — failed operation → unusable; probes older than 0.2.2 measuring after
+    the backend change → unusable (ooni/probe#2344); 'blocked' → 1,
+    'ok' → 0, anything else unusable."""
+    from pipeline_spark.operators.scoring import status_gate_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "signup").withColumn("_k", _k_col())
+    k = F.col("_k")
+    status = (
+        F.when(k % 3 == 0, F.lit("ok")).when(k % 3 == 1, F.lit("blocked")).otherwise(F.lit("weird"))
+    )
+    version = F.when(k % 2 == 0, F.lit("0.2.1")).otherwise(F.lit("0.3.0"))
+    s = status_gate_scorer(
+        status,
+        failure_gate=k % 11 == 0,
+        version_col=version,
+        min_version="0.2.2",
+        cutoff_gate=F.col("value") >= 50,
+    )
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
+
+
+@q(
+    "score_zip_compare",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k FROM events WHERE event_type = 'click')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 5 >= 2 AND k % 3 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN k % 5 = 0 AND k % 4 <> 0 THEN 0.0 ELSE 1.0 END AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_zip_compare_q(spark, sf):
+    """C4: positional sent-vs-received zip compare (core.py:732-763) —
+    both empty → unusable; a mutation inside the zipped prefix → blocking 1;
+    a trailing extra line beyond the shorter list is ignored (zip
+    truncation), exercised via the k%4 appended element."""
+    from pipeline_spark.operators.scoring import zip_compare_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "click").withColumn("_k", _k_col())
+    k = F.col("_k")
+    base = F.array(F.lit("GET /"), F.lit("Host: x"), F.lit("Accept: *"), F.lit("UA: probe"))
+    sent = F.slice(base, F.lit(1), (k % 5).cast("int"))
+    # received: sent with position 2 tampered when k%3=0, plus an extra
+    # trailing line when k%4=0 (beyond the zip prefix → must not score)
+    received = F.transform(
+        sent, lambda x, i: F.when((k % 3 == 0) & (i == 1), F.lit("TAMPERED")).otherwise(x)
+    )
+    received = F.when(k % 4 == 0, F.concat(received, F.array(F.lit("extra")))).otherwise(received)
+    s = zip_compare_scorer(sent, received)
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
+
+
+@q(
+    "score_psiphon_bootstrap",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k FROM events WHERE event_type = 'view')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 4 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN k % 13 = 0 THEN 0.0
+                           WHEN k % 4 <> 0 AND k % 3 = 0 THEN 0.0
+                           ELSE 1.0 END AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_psiphon_q(spark, sf):
+    """C12: psiphon failure/bootstrap scorer (core.py:1196-1230) — a
+    failure (bootstrap or runtime) → blocking 1; null failure with
+    bootstrap_time 0 is an invalid measurement; missing resolver_ip voids
+    accuracy."""
+    from pipeline_spark.operators.scoring import bootstrap_failure_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "view").withColumn("_k", _k_col())
+    k = F.col("_k")
+    failure = F.when(k % 4 == 0, F.lit("timeout")).otherwise(F.lit(None).cast("string"))
+    bootstrap_time = F.when(k % 3 == 0, F.lit(0.0)).otherwise((k % 10).cast("double") + 1.0)
+    s = bootstrap_failure_scorer(failure, bootstrap_time, resolver_ok=k % 13 != 0)
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
+
+
+@q(
+    "score_whatsapp_version_gate",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k, 1 + ({_K}) % 4 AS m FROM events WHERE event_type = 'signup')
+    SELECT event_id,
+           round(CASE WHEN k % 3 = 0 AND k % 5 = 0 THEN 0.0
+                 ELSE CAST(greatest(m - 2, 0) AS DOUBLE) / m END, 6) AS blocking
+    FROM t
+    """,
+)
+def score_whatsapp_gate_q(spark, sf):
+    """C5: whatsapp multi-part ratio + version-gated false-positive patch
+    (core.py:797-905, gate at :840-848): affected software versions
+    reporting 'blocked' hit the unsupported-browser page — their blocking
+    signal collapses to 0."""
+    from pipeline_spark.operators.scoring import combined_ratio_scorer, gate_false_positive
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "signup").withColumn("_k", _k_col())
+    k = F.col("_k")
+    part = F.sequence(F.lit(1), (F.lit(1) + k % 4).cast("int"))
+    base = combined_ratio_scorer([(part, lambda x: x > 2)])
+    version = F.when(k % 3 == 0, F.lit("2.2.0")).otherwise(F.lit("3.0.0"))
+    web_blocked = k % 5 == 0
+    gated = gate_false_positive(
+        base, version.isin("2.1.0", "2.2.0", "2.3.0") & web_blocked
+    )
+    return e.select("event_id", F.round(gated["blocking"], 6).alias("blocking"))

@@ -98,6 +98,9 @@ def replay_stream(
             extra_lineage={"batch_id": batch_id, "stream_id": stream_id},
             salt_buckets=salt_buckets,
             post_merge=None if extract == "eager" else fill_text,
+            # micro-batches are maxFilesPerTrigger-bounded → the winner
+            # keyset always fits a broadcast; skip "auto"'s count job
+            broadcast_winners=True,
         )
         if lin is None:
             counters["batches_skipped"] += 1
@@ -106,11 +109,14 @@ def replay_stream(
             counters["rows_in"] += lin["rows_in"]
             if on_batch_committed is not None:
                 on_batch_committed(batch_id, lin, table)
+            # compact only counts COMMITTED batches: a fence-skipped batch
+            # does not advance the counter, so replays over already-applied
+            # epochs never fire spurious compaction jobs
+            if compact_every and counters["batches"] % compact_every == 0:
+                table.compact()
         counters["elapsed_s"] = round(_time.monotonic() - t_start, 3)
         if counters["elapsed_s"] > 0:
             counters["events_per_sec"] = round(counters["rows_in"] / counters["elapsed_s"], 1)
-        if compact_every and counters["batches"] % compact_every == 0:
-            table.compact()
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

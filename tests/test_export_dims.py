@@ -88,3 +88,13 @@ def test_backup_restore_incremental(spark, tmp_path):
     # restoring the OLDER snapshot gives the older state
     old = restore_table(spark, tgt, str(tmp_path / "restored_v1"), version=r1["version"])
     assert old.current_version() == r1["version"]
+
+
+def test_dim_swap_relative_path_publish(spark, tmp_path):
+    """publish() must store an ABSOLUTE symlink target: with a relative
+    table path, a relative target would resolve against the link's own
+    directory and point at a non-existent doubled path."""
+    rel = os.path.relpath(str(tmp_path / "reldim"), os.getcwd())
+    dim = DimSwap(spark, rel)
+    dim.publish(spark.range(0, 50).selectExpr("id", "CAST(id AS STRING) AS name"))
+    assert dim.current().count() == 50  # current() resolves through realpath

@@ -384,3 +384,128 @@ def test_rebucket_preserves_state_and_pruning(spark, tmp_path, spec):
         t.bucket_expr(F.col("url")).alias("b")
     ).collect()[0]["b"]
     assert t.scan(buckets={b}).filter(F.col("url") == url).count() == 1
+
+
+def test_changes_across_shrinking_rebucket(spark, tmp_path, spec):
+    """changes() spanning a rebucket that SHRINKS n_buckets: bucket ids of
+    the two snapshots live in different hash spaces, so pruning must be
+    skipped — unchanged rows must NOT resurface as phantom upserts."""
+    t = make_table(spark, tmp_path, "chgrb", buckets=16)
+    pdfs = [generate_epoch(spec, e) for e in range(2)]
+    t.merge(spark_batch(spark, pdfs[0]))
+    v1 = t.current_version()
+    t.rebucket(8)  # shrink: old buckets 8-15 vanish from the new numbering
+    t.merge(spark_batch(spark, pdfs[1]))
+
+    rows = t.changes(v1).collect()
+    got_keys = {r["url"] for r in rows}
+    assert len(rows) == len(got_keys)  # no duplicate emissions
+
+    def winners(ps):
+        s = {}
+        for pdf in ps:
+            for r in pdf.itertuples(index=False):
+                if r.url is None or pd.isna(r.warc_ts):
+                    continue
+                k = (r.warc_ts, r.epoch, r.offset)
+                if r.url not in s or k > s[r.url][0]:
+                    s[r.url] = (k, r.op)
+        return s
+
+    w1, wf = winners(pdfs[:1]), winners(pdfs)
+    exp_changed = {u for u, (k, op) in wf.items() if u not in w1 or w1[u][0] != k}
+    assert got_keys == exp_changed  # phantom upserts would add extra keys
+
+
+def test_tombstone_gc_and_no_resurrection(spark, tmp_path):
+    """compact(purge_tombstones_before_epoch=E) drops old tombstones; the
+    stream fence (already past E) still prevents resurrection on a late
+    replay of the delete-era epochs."""
+    t = make_table(spark, tmp_path, "gc", buckets=4)
+    base = pd.DataFrame(
+        {
+            "op": ["U", "D", "U"],
+            "url": ["u1", "u1", "u2"],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:05", "2024-01-01 00:00:02"]
+            ),
+            "html": [b"<p>a</p>", None, b"<p>b</p>"],
+            "lang": ["en", "en", "en"],
+            "epoch": [0, 0, 0],
+            "offset": [0, 1, 2],
+        }
+    )
+    t.merge(spark_batch(spark, base), fence=("s", 0))
+    hidden = t.scan(with_hidden=True).filter(F.col("_deleted")).collect()
+    assert len(hidden) == 1  # tombstone present before GC
+
+    # fence has advanced past epoch 0 → safe to purge epoch-0 tombstones
+    t.compact(purge_tombstones_before_epoch=0)
+    assert t.scan(with_hidden=True).filter(F.col("_deleted")).count() == 0
+    assert list(as_pandas_state(t)["url"]) == ["u2"]
+
+    # late replay of the already-applied batch: fence skips it entirely —
+    # the purged tombstone cannot be outraced, u1 stays deleted
+    assert t.merge(spark_batch(spark, base), fence=("s", 0)) is None
+    assert list(as_pandas_state(t)["url"]) == ["u2"]
+
+
+def test_tombstone_rows_carry_no_payload(spark, tmp_path):
+    """Delete events must be persisted payload-free: a tombstone only needs
+    (key, version, hidden cols) to win LWW — html/text/lang are nulled so
+    deletes cost ~tens of bytes, not multi-KB, in shuffle and on disk."""
+    t = make_table(spark, tmp_path, "slim", buckets=4)
+    rows = pd.DataFrame(
+        {
+            "op": ["U", "D"],
+            "url": ["u1", "u1"],
+            "warc_ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:05"]),
+            "html": [b"<p>keep</p>", b"<p>delete payload should vanish</p>"],
+            "lang": ["en", "en"],
+            "epoch": [0, 0],
+            "offset": [0, 1],
+        }
+    )
+    t.merge(spark_batch(spark, rows))
+    tomb = t.scan(with_hidden=True).filter(F.col("_deleted")).collect()
+    assert len(tomb) == 1
+    r = tomb[0]
+    assert r["html"] is None and r["text"] is None and r["lang"] is None
+    assert r["url"] == "u1"  # key + version survive for LWW
+    assert as_pandas_state(t).empty  # delete still wins
+
+
+def test_legacy_files_with_null_hidden_seq_resolve(spark, tmp_path):
+    """A pre-_vc_seq file (hidden column missing → null-filled by the
+    explicit read schema) must still LWW-resolve: the winner-tuple filter is
+    null-safe and legacy hidden fields coalesce to sentinel 0 — a NULL
+    predicate must not silently drop every row of a contested key."""
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    t = make_table(spark, tmp_path, "legacy", buckets=2)
+    rows = pd.DataFrame(
+        {
+            "op": ["U", "U"],
+            "url": ["u1", "u1"],
+            "warc_ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:05"]),
+            "html": [b"<p>old</p>", b"<p>new</p>"],
+            "lang": ["en", "en"],
+            "epoch": [0, 0],
+            "offset": [0, 1],
+        }
+    )
+    t.merge(spark_batch(spark, rows.iloc[:1]))
+    t.merge(spark_batch(spark, rows.iloc[1:]))  # contested key across files
+    # simulate round-1-format files: strip _vc_seq from every data file
+    for f in t.meta()["files"]:
+        full = os.path.join(t.path, f["path"])
+        tab = _pq.read_table(full)
+        tab = tab.drop_columns(["_vc_seq"])
+        _pq.write_table(tab, full, coerce_timestamps="us", allow_truncated_timestamps=True)
+        # drop Hadoop's checksum sidecar — the rewrite invalidated it
+        crc = os.path.join(os.path.dirname(full), "." + os.path.basename(full) + ".crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
+    got = t.read().collect()
+    assert len(got) == 1 and bytes(got[0]["html"]) == b"<p>new</p>"

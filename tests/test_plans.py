@@ -143,3 +143,20 @@ def test_bucket_pruned_point_lookup_reads_fewer_files(spark, tmp_path):
     # pruned scan shows far fewer input files than the table holds
     assert total_files >= 8
     assert one_bucket.count() < t.read().count()
+
+
+def test_similarity_plans_build_lazily(spark, sf_dir, monkeypatch):
+    """Building the similarity query plans must not collect anything to the
+    driver — no first()/collect()/toPandas() for dim inference on the hot
+    path (dim is threaded as a parameter)."""
+    from pyspark.sql import DataFrame
+
+    def _banned(self, *a, **k):  # pragma: no cover - fires only on regression
+        raise AssertionError("driver-side materialization during plan building")
+
+    monkeypatch.setattr(DataFrame, "first", _banned)
+    monkeypatch.setattr(DataFrame, "collect", _banned)
+    monkeypatch.setattr(DataFrame, "toPandas", _banned)
+    for name in ("embedding_ann_lsh", "embedding_near_dup_lsh", "embedding_topk_bruteforce"):
+        df = entry_mod.queries()[name](spark, sf_dir)
+        _ = df.columns  # force analysis, not execution

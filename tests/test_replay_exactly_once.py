@@ -126,3 +126,21 @@ def test_replay_with_inline_compaction(spark, tmp_path):
     assert "base" in kinds  # at least one inline compaction folded deltas
     pdfs = [generate_epoch(spec, e) for e in range(spec.n_epochs)]
     assert_state_equal(as_pandas_state(t), lww_oracle(pdfs, extract_text_py))
+
+
+def test_fence_skipped_batches_never_compact(spark, tmp_path, stream_dir, expected):
+    """A replay over already-applied epochs (fresh checkpoint, every batch
+    fence-skipped) must fire ZERO compaction jobs — compact_every counts
+    committed batches, not deliveries."""
+    t = make_table(spark, tmp_path, "nocompact")
+    replay_stream(spark, stream_dir, t, checkpoint=str(tmp_path / "n1"), max_files_per_trigger=1)
+    compactions_before = sum(1 for r in t.lineage_records() if r.get("action") == "compact")
+    v1 = t.current_version()
+    c = replay_stream(
+        spark, stream_dir, t, checkpoint=str(tmp_path / "n2"),
+        max_files_per_trigger=1, compact_every=1,
+    )
+    assert c["batches"] == 0 and c["batches_skipped"] == SPEC.n_epochs
+    compactions_after = sum(1 for r in t.lineage_records() if r.get("action") == "compact")
+    assert compactions_after == compactions_before
+    assert t.current_version() == v1
