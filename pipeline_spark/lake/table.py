@@ -522,6 +522,13 @@ class LakeTable:
         ``True`` to skip the count job, and a 10^10-key backfill through
         the default never funnels the keyset through the driver.
 
+        NOTE: ``batch`` is evaluated TWICE — a full-payload probe branch
+        (the write) and a column-pruned narrow branch (the winner argmax).
+        Cheap when ``batch`` is file-backed (the narrow pass prunes to ~4
+        columns at the scan); an expensive in-memory/computed batch should
+        be persisted or checkpointed by the caller first, or its transform
+        moved into ``post_merge`` so it runs once on winners only.
+
         ``post_merge``: optional DataFrame→DataFrame transform applied to
         the winning rows just before the write — the hook for derived
         columns that only need computing on *winning* rows (e.g. HTML→text

@@ -111,13 +111,19 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 8, rows: int = 4, id_col: str = "doc_id",
-    hash_basis: str = "xxhash64",
+    hash_basis: str = "xxhash64", checkpoint: str = "lazy",
 ) -> DataFrame:
     """LSH banding: docs agreeing on all ``rows`` hashes of any band become
     a candidate pair. Band signatures are built as ONE array column and
     ``posexplode``d — a single evaluation of the (expensive) signature
     plan, vs a union of per-band scans that would recompute it ``bands``
-    times. One shuffle keyed on (band, band-signature)."""
+    times. One shuffle keyed on (band, band-signature).
+
+    ``checkpoint`` controls how the bucket relation is shared between the
+    self-join sides: ``"lazy"`` localCheckpoint (materialize once on first
+    use), ``"none"`` (recompute the signature plan per side — cheaper when
+    signatures are fast JVM hashes and the input scan is cold-cache
+    anyway)."""
     k = bands * rows
     assert all(f"mh{i}" in sigs.columns for i in range(k)), "need mh0..mh{k-1}"
     if hash_basis == "md5":
@@ -127,9 +133,9 @@ def lsh_candidate_pairs(
         def band_key(b):
             return F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).cast("string")
     band_arr = F.array(*[band_key(b) for b in range(bands)])
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "bsig")
-    ).localCheckpoint(eager=False)
+    buckets = sigs.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bsig"))
+    if checkpoint == "lazy":
+        buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -149,14 +155,17 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     hash_basis: str = "xxhash64",
+    checkpoint: str = "lazy",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates from banding, then exact
     Jaccard computed ONLY for the candidate pairs (semi-join pruned) — the
     verify cost is O(candidates × shingles), never O(docs²)."""
     sigs = minhash_signatures(df, bands * rows, text_col, id_col, n, hash_basis=hash_basis)
-    cand = lsh_candidate_pairs(sigs, bands, rows, id_col, hash_basis=hash_basis)
+    cand = lsh_candidate_pairs(sigs, bands, rows, id_col, hash_basis=hash_basis, checkpoint=checkpoint)
 
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sh = shingles(df, text_col, id_col, n)
+    if checkpoint == "lazy":
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_b = sh.withColumnRenamed(id_col, "_jb").withColumnRenamed("shingle", "s_b")
     inter = (

@@ -37,14 +37,20 @@ def export_bundles(
     sort_cols: list[str],
     rows_per_bundle: int = 100_000,
     n_bundles: int | None = None,
+    row_count_hint: int | None = None,
 ) -> dict:
     """Export ``df`` as deterministic content-hash-named jsonl bundles.
 
     ``sort_cols`` must totally order the rows (include a unique id).
     Returns the manifest dict (also written to ``out_dir/manifest.json``).
+
+    Bundle count: pass ``n_bundles`` directly, or ``row_count_hint`` when
+    the cardinality is already known (e.g. from merge lineage
+    ``rows_written`` totals) — otherwise sizing falls back to one extra
+    ``count()`` scan of ``df``, a full second pass at 100 TB.
     """
     if n_bundles is None:
-        n = df.count()
+        n = row_count_hint if row_count_hint is not None else df.count()
         n_bundles = max(1, math.ceil(n / rows_per_bundle))
     bundle = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]), F.lit(n_bundles)).cast("int")
     line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))

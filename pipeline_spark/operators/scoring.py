@@ -19,7 +19,19 @@ Scorers included (each cites the behavior it mirrors):
   table to (blocking, accuracy) scores, the dns/tcp failure tables
   (``core.py:1101-1151``);
 * :func:`tally_ratio_scorer` — per-record sub-result tally, score =
-  failed/total ratio, the per-target scoring of ``core.py:1233-1284``.
+  failed/total ratio, the per-target scoring of ``core.py:1233-1284``;
+* :func:`flag_count_scorer` / :func:`combined_ratio_scorer` — the
+  fb_messenger / telegram-whatsapp multi-part shapes
+  (``core.py:499-559,581-657,797-905``);
+* :func:`bootstrap_progress_scorer` (vanilla_tor, ``core.py:908-940``),
+  :func:`response_check_scorer` (meek, ``core.py:1154-1194``),
+  :func:`match_flags_scorer` (legacy http_requests, ``core.py:1287-1332``),
+  :func:`status_gate_scorer` (signal incl. version gate,
+  ``core.py:1344-1378``), :func:`zip_compare_scorer`
+  (http_invalid_request_line, ``core.py:732-763``),
+  :func:`bootstrap_failure_scorer` (psiphon, ``core.py:1196-1230``),
+  :func:`gate_false_positive` (whatsapp version patch,
+  ``core.py:840-848``) — the concrete tail of the dispatch dict.
 
 Adding a scorer = one entry in the dict passed to :func:`score` — the
 "where does my business transform go" extension point.

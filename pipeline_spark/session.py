@@ -51,7 +51,14 @@ def get_spark(
         # rows; measured ~25% faster than default G1 at local[32] (GC time
         # was ~30% of task run time under G1)
         .config("spark.driver.extraJavaOptions", "-XX:+UseZGC -XX:+ZGenerational")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd writes ~2-3× fewer bytes than snappy on html/text payloads:
+        # compression CPU scales with cores, disk/bus bandwidth does not —
+        # shifting bytes→cycles improves multi-core scaling AND real-cluster
+        # S3 egress. Overridable for A/B via SPARK_GRAFT_PARQUET_CODEC.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
