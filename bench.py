@@ -137,8 +137,10 @@ def run_replay(cpus: int, sf_dir: str, work_tag: str, extract: str = "winners") 
         checkpoint=os.path.join(work, "ckpt"),
         # batch sizing is a throughput knob: bigger micro-batches amortize
         # the per-batch barrier/commit and write each hot key fewer times
-        # (in-batch LWW folds more duplicates before the write)
-        max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_BENCH_MAX_FILES", "4")),
+        # (in-batch LWW folds more duplicates before the write). Default 8
+        # = one micro-batch over the 8-epoch backlog — interleaved A/B vs
+        # mf=4 measured best-of-2: 176.7/64.0s vs 190.9/76.6s at 2/8 cores
+        max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_BENCH_MAX_FILES", "8")),
         salt_buckets=0,
         extract=extract,
     )
@@ -258,12 +260,18 @@ def main() -> None:
         # every attempt stays disclosed in scaling.json / BASELINE.md
         extract_attempts: dict[int, list[float]] = {k: [] for k in levels}
         codec = os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd")
+        max_files = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_FILES", "8"))
         if os.path.exists(SCALING_CACHE):
             prev = json.load(open(SCALING_CACHE))
             # merge cached attempts only for the SAME engine profile — a
-            # codec change alters what is being measured, so stale attempts
-            # must not mix into the best-of
-            if prev.get("events") == n_events and prev.get("sf") == sf and prev.get("codec") == codec:
+            # codec or micro-batch-size change alters what is being
+            # measured, so stale attempts must not mix into the best-of
+            if (
+                prev.get("events") == n_events
+                and prev.get("sf") == sf
+                and prev.get("codec") == codec
+                and prev.get("max_files_per_trigger", 4) == max_files
+            ):
                 for k in levels:
                     old = prev.get("attempts_sec", {}).get(str(k), [])
                     attempts[k].extend(old)
@@ -294,6 +302,7 @@ def main() -> None:
             "events": n_events,
             "sf": sf,
             "codec": codec,
+            "max_files_per_trigger": max_files,
             "attempts_sec": {str(k): v for k, v in attempts.items()},
             "extract_attempts_sec": {str(k): v for k, v in extract_attempts.items()},
             "pairs": [],

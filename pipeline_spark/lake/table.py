@@ -83,6 +83,56 @@ def _field(fid: int, name: str, typ: str) -> dict:
     return {"id": fid, "name": name, "type": typ}
 
 
+def _stat_key(v):
+    """JSON-safe, order-preserving encoding for manifest min/max stats.
+    Timestamps become fixed-width UTC ISO strings (lexicographic ==
+    chronological), so file bounds and query bounds compare as plain
+    values."""
+    import datetime
+
+    import pandas as _pd
+
+    if isinstance(v, _pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _footer_stats(md, cols: set[str]) -> dict:
+    """Per-file min/max for ``cols`` from a parquet footer (Iceberg-style
+    manifest column bounds — the metadata is already written by every
+    parquet writer; this just lifts it into the snapshot so planning can
+    skip files without opening them). A column missing stats in ANY row
+    group yields no entry (pruning must only ever see true bounds)."""
+    agg: dict[str, list] = {}
+    broken: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in cols or name in broken:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                broken.add(name)
+                agg.pop(name, None)
+                continue
+            lo, hi = _stat_key(st.min), _stat_key(st.max)
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [lo, hi]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+    return agg
+
+
 class LakeTable:
     """Handle to a lake table rooted at a local/posix directory."""
 
@@ -387,30 +437,101 @@ class LakeTable:
         keep = F.col("_wk").isNull() | cond
         return j.filter(keep).drop("_wk", *[name for _, name, _ in w_cols])
 
+    def _stats_columns(self) -> set[str]:
+        """Columns whose min/max ride the manifest: the key and the
+        version column by default (URL point lookups, time-range scans),
+        plus any names in the ``stats_cols`` table property."""
+        meta = self.meta()
+        extra = meta.get("properties", {}).get("stats_cols", "")
+        return {meta["key"], meta["version_col"]} | {c for c in extra.split(",") if c}
+
+    @staticmethod
+    def _file_out_of_range(f: dict, col: str, lo, hi) -> bool:
+        """True iff the manifest PROVES no row of ``f`` has col in
+        [lo, hi]. Files without recorded bounds are never pruned."""
+        st = f.get("stats", {}).get(col)
+        if not st:
+            return False
+        fmin, fmax = st
+        if lo is not None and fmax < _stat_key(lo):
+            return True
+        if hi is not None and fmin > _stat_key(hi):
+            return True
+        return False
+
+    @staticmethod
+    def _prune_by_stats(files: list[dict], range_filter: dict) -> list[dict]:
+        """Manifest-bounds file skipping, merge-on-read-safe.
+
+        Output rows are always a subset of stored rows, so a bucket whose
+        EVERY file is provably out of range emits nothing — whole-bucket
+        pruning is unconditionally safe. Within a bucket that has NO
+        delta files, each base row is final state, so per-file pruning is
+        safe too. In a delta-bearing bucket, partial pruning could drop a
+        row that would WIN resolution (surfacing a stale competitor whose
+        value passes the filter), so those buckets keep all their files
+        and rely on the row-level filter.
+        """
+        by_bucket: dict[int, list[dict]] = {}
+        for f in files:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        kept: list[dict] = []
+        for fs in by_bucket.values():
+            out = [
+                f
+                for f in fs
+                if not any(
+                    LakeTable._file_out_of_range(f, c, lo, hi)
+                    for c, (lo, hi) in range_filter.items()
+                )
+            ]
+            if not out:
+                continue  # whole bucket proven out of range
+            has_delta = any(f.get("kind", "base") != "base" for f in fs)
+            kept.extend(fs if has_delta else out)
+        return kept
+
     def scan(
         self,
         buckets: set[int] | None = None,
         with_hidden: bool = False,
         version: int | None = None,
+        range_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """LWW-resolved rows of snapshot ``version`` (default: current);
         ``buckets`` prunes data files by key-bucket. Time travel = reading
         an older snapshot's file list (files are immutable; old snapshots
-        stay readable until :meth:`expire_snapshots` removes them)."""
+        stay readable until :meth:`expire_snapshots` removes them).
+
+        ``range_filter``: ``{col: (lo, hi)}`` conjunctive bounds (either
+        side ``None`` for open). Applied BOTH as manifest-stats file
+        skipping (files whose footer bounds prove no match never reach
+        the Spark plan — at 100 TB a one-day ``warc_ts`` slice plans only
+        that day's files) and as a row filter on the result.
+        """
         meta = self.meta(version)
         files = meta["files"]
         if buckets is not None:
             files = [f for f in files if f["bucket"] in buckets]
+        if range_filter:
+            files = self._prune_by_stats(files, range_filter)
         if not files:
-            return self._empty(with_hidden, meta)
-        base_files = [f for f in files if f.get("kind", "base") == "base"]
-        delta_files = [f for f in files if f.get("kind", "base") != "base"]
-        if delta_files:
-            out = self._resolve_mor(meta, base_files, delta_files)
+            out = self._empty(with_hidden, meta)
         else:
-            out = self._read_files(meta, base_files)
-        if not with_hidden:
+            base_files = [f for f in files if f.get("kind", "base") == "base"]
+            delta_files = [f for f in files if f.get("kind", "base") != "base"]
+            if delta_files:
+                out = self._resolve_mor(meta, base_files, delta_files)
+            else:
+                out = self._read_files(meta, base_files)
+        if not with_hidden and files:
             out = out.filter(~F.col(HIDDEN_DELETED)).drop(*[n for n, _ in HIDDEN_FIELDS])
+        if range_filter:
+            for c, (lo, hi) in range_filter.items():
+                if lo is not None:
+                    out = out.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(c) <= F.lit(hi))
         return out
 
     def read(self) -> DataFrame:
@@ -418,11 +539,20 @@ class LakeTable:
 
     # -------------------------------------------------------------- write
 
-    def _write_data(self, df: DataFrame, schema_version: int, kind: str = "base") -> list[dict]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        schema_version: int,
+        kind: str = "base",
+        writer_opts: dict[str, str] | None = None,
+    ) -> list[dict]:
         """Write rows partitioned by `_b` (bucket); returns file entries."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, DATA_DIR, f"c-{commit_id}")
-        (df.write.partitionBy("_b").mode("error").parquet(out_dir))
+        w = df.write
+        for k, v in (writer_opts or {}).items():
+            w = w.option(k, v)
+        (w.partitionBy("_b").mode("error").parquet(out_dir))
         todo = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("_b="):
@@ -432,14 +562,18 @@ class LakeTable:
                 if fn.endswith(".parquet"):
                     todo.append((bucket, os.path.join(out_dir, bdir, fn)))
 
+        stat_cols = self._stats_columns()
+
         def entry(item):
             bucket, full = item
+            md = pq.read_metadata(full)
             return {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
                 "schema_version": schema_version,
-                "rows": pq.read_metadata(full).num_rows,
+                "rows": md.num_rows,
                 "kind": kind,
+                "stats": _footer_stats(md, stat_cols),
             }
 
         from concurrent.futures import ThreadPoolExecutor
@@ -793,6 +927,8 @@ class LakeTable:
         self,
         target_files_per_bucket: int = 1,
         purge_tombstones_before_epoch: int | None = None,
+        sort_by: str | None = None,
+        rows_per_file: int | None = None,
     ) -> dict | None:
         """Fold delta files into base and rewrite fragmented buckets
         (small-file compaction — Iceberg ``rewrite_data_files`` analog,
@@ -815,7 +951,18 @@ class LakeTable:
         applied again). Tombstones in non-victim buckets purge on a later
         compaction — GC is lazy, like the rest of this path. Time travel to
         snapshots older than the compaction still resolves deletes
-        correctly (old snapshots read the old files)."""
+        correctly (old snapshots read the old files).
+
+        Sort-order compaction (Iceberg table sort-order analog):
+        ``sort_by`` sorts each rewritten bucket on a column and
+        ``rows_per_file`` splits the sorted run into multiple files — each
+        file then covers a TIGHT, near-disjoint range of the sort column,
+        which is what makes manifest-stats file skipping
+        (``scan(range_filter=...)``) effective: key-hash bucketing
+        deliberately destroys value locality, so without a sort order a
+        compacted bucket file spans the whole value range and no range
+        predicate can ever prune it. Sort by the version/time column to
+        make time-slice scans at 100 TB plan only the matching files."""
         meta = self.meta()
         base_count: dict[int, int] = {}
         victims: set[int] = set()
@@ -834,6 +981,13 @@ class LakeTable:
             )
         df = df.withColumn("_b", self.bucket_expr(F.col(meta["key"])))
         df = df.repartition(len(victims), F.col("_b"))
-        new_files = self._write_data(df, meta["schema_version"], kind="base")
+        writer_opts = {}
+        if sort_by is not None:
+            # contiguous sorted runs + maxRecordsPerFile splits => each
+            # output file holds one tight slice of the sort column
+            df = df.sortWithinPartitions("_b", sort_by)
+            if rows_per_file is not None:
+                writer_opts["maxRecordsPerFile"] = str(rows_per_file)
+        new_files = self._write_data(df, meta["schema_version"], kind="base", writer_opts=writer_opts)
         self._commit_files(meta, new_files, victims, lineage={"action": "compact", "buckets": len(victims)})
         return {"buckets_compacted": len(victims)}

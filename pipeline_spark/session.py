@@ -59,6 +59,10 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
         )
+        # int64 micros, not legacy INT96: footers then carry real min/max
+        # stats (INT96 has none), which the lake manifest lifts into
+        # snapshot metadata for file skipping; also the modern interop type
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )

@@ -61,10 +61,13 @@ def read_yaml_changes(spark: SparkSession, path: str) -> DataFrame:
     bins = bins.select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipeline_spark.sources.lz4codec import maybe_decompress
+
         for pdf in batches:
             for p, blob in zip(pdf["path"], pdf["content"]):
                 rows, broken = [], 0
-                for frame in split_yaml_frames(bytes(blob)):
+                # .yml.lz4 legacy cans (s3feeder.py:100-110) sniff-decode
+                for frame in split_yaml_frames(maybe_decompress(bytes(blob))):
                     try:
                         doc = yaml.safe_load(frame)
                     except yaml.YAMLError:
@@ -96,10 +99,15 @@ def read_yaml_changes(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_change_stream_yaml(path: str, spec, broken_every: int = 0) -> list[str]:
+def write_change_stream_yaml(
+    path: str, spec, broken_every: int = 0, lz4: bool = False
+) -> list[str]:
     """Serialize the datagen stream as one ``---``-framed YAML blob per
     epoch; ``broken_every>0`` plants an unparsable frame every N records
-    to exercise the skip-and-count path."""
+    to exercise the skip-and-count path. ``lz4=True`` writes the
+    ``.yml.lz4`` legacy-can shape."""
+    import io as _io
+
     import yaml
 
     from pipeline_spark.datagen import generate_epoch
@@ -107,9 +115,9 @@ def write_change_stream_yaml(path: str, spec, broken_every: int = 0) -> list[str
     out = []
     for e in range(spec.n_epochs):
         pdf = generate_epoch(spec, e)
-        dest = os.path.join(path, f"ep-{e:04d}.yml")
+        dest = os.path.join(path, f"ep-{e:04d}.yml" + (".lz4" if lz4 else ""))
         os.makedirs(path, exist_ok=True)
-        with open(dest, "w") as f:
+        with _io.StringIO() as f:
             for i, row in enumerate(pdf.itertuples(index=False)):
                 if broken_every and i % broken_every == 0:
                     f.write("---\n{ this is : not [ valid yaml\n")
@@ -124,6 +132,13 @@ def write_change_stream_yaml(path: str, spec, broken_every: int = 0) -> list[str
                 }
                 f.write("---\n")
                 yaml.safe_dump(rec, f, default_flow_style=False)
+            data = f.getvalue().encode("utf-8")
+        if lz4:
+            from pipeline_spark.sources.lz4codec import compress_frame
+
+            data = compress_frame(data)
+        with open(dest, "wb") as fh:
+            fh.write(data)
         out.append(dest)
     return out
 
