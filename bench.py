@@ -393,7 +393,9 @@ efficiency from N to 4N executors) cannot use a real cluster in this
 sandbox; per the driver protocol it is evidenced by running the IDENTICAL
 streaming merge-apply replay at two parallelism levels on the same
 deterministic input (seed=42 CDC stream, {s['events']:,} events, 8 epochs,
-≈7.5 KB Common-Crawl-shaped html bodies, `maxFilesPerTrigger=4`, shuffle
+≈7.5 KB Common-Crawl-shaped html bodies,
+`maxFilesPerTrigger={s.get('max_files_per_trigger', 4)}`, parquet codec
+{s.get('codec', 'snappy')}, shuffle
 partitions = cores, table `n_buckets` pinned to 64 at every level, JVM +
 Python-UDF warmup excluded from the timed region, best-of-N wall time per
 level — the host is a shared VM whose available CPU swings between runs;
@@ -432,10 +434,19 @@ Extract-stage attempts (seconds):
   executor brings its own disks, bus, and S3 connections) but cannot
   scale inside a single box. Hence full-replay efficiency at 2→8 sits
   between the single-box I/O floor and the compute ceiling. Round-over-
-  round: the merge-on-read rework lifted full-replay 2→8 efficiency from
-  0.565 (round 1, copy-on-write bucket rewrites) to ~0.74 over ten
-  disclosed attempts per level, with the replay now extraction-bound
-  (at 2 cores replay wall time ≈ the extract stage alone).
+  round: merge-on-read (round 2) lifted full-replay 2→8 efficiency from
+  0.565 (round 1, copy-on-write bucket rewrites) to ~0.74; round 3's
+  zstd deltas + tombstone-payload stripping + single-micro-batch backlog
+  replay lifted it further (see the table), with the replay now
+  extraction-bound (at 2 cores replay wall ≈ the extract stage alone).
+* Decomposing replay − extract leaves a ≈10-12 s component that is the
+  same at 2 and 8 cores: streaming-query startup/teardown, merge plan
+  analysis, snapshot commit, checkpoint writes — per-JOB fixed driver
+  cost, not per-row work. It is invariant in the job count, so its share
+  of wall time (and its drag on measured efficiency) halves every time
+  the replayed backlog doubles; the 10^10-event north-rule scenario is
+  ~10^4× this benchmark, where it vanishes entirely. The profile at
+  2,000,000 events exists to evidence exactly this amortization.
 
 Input: `{s['sf']}`-scaled stream. Measured by `python bench.py --scaling`
 (fresh subprocess per parallelism level; stream generation excluded from

@@ -1034,6 +1034,55 @@ def cdc_replay_q(spark, sf):
     return t.read().select("url", "warc_ts", F.md5(F.col("text")).alias("text_md5"), "lang")
 
 
+@q(
+    "lake_time_slice",
+    """
+    SELECT event_id, ts, event_type, round(value, 2) AS value_r
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def lake_time_slice_q(spark, sf):
+    """Full lake path for a time-slice read: merge the events stream into
+    a LakeTable (event_id-keyed), sort-order-compact on the time column,
+    then ``scan(range_filter=...)`` — manifest-stats file skipping plans
+    only the files whose footer bounds overlap the slice (Iceberg-style
+    data skipping); the value gate is merge + sorted-compaction + pruned
+    scan returning exactly the SQL-filtered rows."""
+    import datetime
+    import os
+    import tempfile
+
+    from pipeline_spark.lake import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        F.lit("U").alias("op"),
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.lit(0).cast("long").alias("epoch"),
+        F.col("event_id").alias("offset"),
+    )
+    work = tempfile.mkdtemp(prefix="lake_slice_")
+    t = LakeTable.create(
+        spark,
+        os.path.join(work, "t"),
+        [("event_id", "long"), ("ts", "timestamp"), ("event_type", "string"), ("value", "double")],
+        key="event_id",
+        version_col="ts",
+        n_buckets=8,
+    )
+    t.merge(e)
+    t.compact(sort_by="ts", rows_per_file=2_000)
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 20)
+    return t.scan(range_filter={"ts": (lo, hi)}).select(
+        "event_id", "ts", "event_type", F.round("value", 2).alias("value_r")
+    )
+
+
 # =====================================================================
 # public accessors
 # =====================================================================

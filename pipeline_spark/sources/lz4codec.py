@@ -173,6 +173,8 @@ def compress_block(src: bytes) -> bytes:
             emit(0, n, 0, 0)
         return bytes(out)
 
+    from zlib import crc32  # deterministic across processes (hash() is salted)
+
     table: dict[int, int] = {}
     anchor = 0
     i = 0
@@ -180,7 +182,7 @@ def compress_block(src: bytes) -> bytes:
     last_match_start = n - 12  # no match may START after here
     while i <= last_match_start:
         key = src[i : i + 4]
-        h = hash(key)
+        h = crc32(key)
         cand = table.get(h, -1)
         table[h] = i
         if cand >= 0 and i - cand <= 65535 and src[cand : cand + 4] == key:

@@ -87,6 +87,30 @@ def test_corruption_detected():
         decompress_block(b"\xf0")  # truncated literal run
 
 
+def test_block_and_frame_property_round_trip():
+    """Property: every byte string round-trips through block and frame
+    codecs (random data, repetitive data, and structured mixes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blobs = st.one_of(
+        st.binary(max_size=4096),
+        # repetitive inputs exercise match emission + overlap copies
+        st.tuples(st.binary(min_size=1, max_size=64), st.integers(1, 200)).map(
+            lambda t: t[0] * t[1]
+        ),
+        st.lists(st.binary(max_size=32), max_size=64).map(b"|".join),
+    )
+
+    @given(blobs)
+    @settings(max_examples=300, deadline=None)
+    def check(data):
+        assert decompress_block(compress_block(data)) == data
+        assert _decompress_frame_py(compress_frame(data, block_size=1024)) == data
+
+    check()
+
+
 def test_tar_lz4_replay_matches_oracle(spark, tmp_path):
     """.tar.lz4 legacy cans replay to the exact LWW oracle state."""
     from pipeline_spark.sources.container import read_container_changes, write_change_stream_tar
