@@ -50,7 +50,11 @@ HEADLINE_QUERIES = [
 ]
 
 
-N_BUCKETS = 64  # pinned across parallelism levels (same table layout)
+# pinned across parallelism levels (same table layout). 64 is the
+# 100TB-shaped layout; the knob exists to size buckets to the bench
+# table (bucket-sizing guidance: a bucket should be file-sized, and the
+# dynamic-partition commit cost scales with bucket count)
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BENCH_NBUCKETS", "64"))
 
 
 def stream_spec(sf_dir: str):
@@ -424,6 +428,11 @@ Extract-stage attempts (seconds):
   0.82–0.93 at 2→8 across runs, reaching the ≥0.8 criterion value.
 * **host CPU control** is a pure multiprocessing spin loop (no Spark, no
   I/O) at the same process counts: this VM's parallel-speedup ceiling.
+  The control is the right denominator for reading the replay number: a
+  control of c means NO workload can measure above c in that window, so
+  replay-eff / control is the host-independent estimate of the job's own
+  scaling (see the table; raw and normalized are both disclosed — the
+  raw number is the gate, the normalized one explains the residual).
   vmstat during runs shows up to ~20% steal time and heavy kernel time at
   32 threads — the 32 vCPUs are virtualized/shared, so NO workload
   (Spark or not) scales cleanly 8→32 here; 2→8 is the meaningful 4×
