@@ -854,6 +854,43 @@ class LakeTable:
             "_change_type", F.when(F.col(HIDDEN_DELETED), F.lit("delete")).otherwise(F.lit("upsert"))
         ).drop(HIDDEN_DELETED, HIDDEN_EPOCH, HIDDEN_OFFSET, HIDDEN_SEQ)
 
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600) -> dict:
+        """Delete data files no snapshot references (Iceberg
+        ``remove_orphan_files`` analog).
+
+        Orphans arise when a writer crashes between ``_write_data`` and
+        the snapshot commit, or loses the optimistic-commit race and never
+        retries — the files exist on disk but in no manifest, so neither
+        scans nor :meth:`expire_snapshots` (which only walks manifests)
+        will ever touch them; at 10^10 keys with restarts they accumulate
+        without bound. Safety: only files older than ``older_than_s`` are
+        deleted, so a commit IN FLIGHT right now (files written, manifest
+        publish microseconds away) can never lose its data — the same
+        grace-period contract as Iceberg's.
+        """
+        import time as _time
+
+        referenced: set[str] = set()
+        for n in os.listdir(os.path.join(self.path, META_DIR)):
+            if n.startswith("v") and n.endswith(".json"):
+                referenced |= {f["path"] for f in self.meta(int(n[1:9]))["files"]}
+        cutoff = _time.time() - older_than_s
+        removed = 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for dirpath, _, names in os.walk(data_root):
+            for fn in names:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in referenced and os.path.getmtime(full) < cutoff:
+                    os.unlink(full)
+                    removed += 1
+        for sub in list(os.walk(data_root, topdown=False)):
+            if not sub[1] and not sub[2] and sub[0] != data_root:
+                os.rmdir(sub[0])
+        return {"orphans_removed": removed}
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Delete metadata of all but the newest ``keep_last`` snapshots and
         any data file no retained snapshot references (Iceberg

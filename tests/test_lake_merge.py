@@ -509,3 +509,42 @@ def test_legacy_files_with_null_hidden_seq_resolve(spark, tmp_path):
             os.unlink(crc)
     got = t.read().collect()
     assert len(got) == 1 and bytes(got[0]["html"]) == b"<p>new</p>"
+
+
+def test_remove_orphan_files(spark, tmp_path, spec):
+    """Files from a crashed/raced write (on disk, in no manifest) are
+    reclaimed after the grace period; referenced files never are."""
+    import os
+    import time
+
+    from pipeline_spark.datagen import generate_epoch
+
+    t = make_table(spark, tmp_path, "orph", buckets=4)
+    t.merge(spark_batch(spark, generate_epoch(spec, 0)))
+
+    # simulate a crashed writer: data files written, commit never published
+    df = spark_batch(spark, generate_epoch(spec, 1)).withColumn("_b", t.bucket_expr(F.col("url")))
+    from pipeline_spark.lake.table import HIDDEN_DELETED, HIDDEN_EPOCH, HIDDEN_OFFSET, HIDDEN_SEQ
+
+    df = (
+        df.withColumn(HIDDEN_DELETED, F.lit(False))
+        .withColumn(HIDDEN_EPOCH, F.col("epoch"))
+        .withColumn(HIDDEN_OFFSET, F.col("offset"))
+        .withColumn(HIDDEN_SEQ, F.lit(0).cast("long"))
+        .drop("op", "epoch", "offset")
+    )
+    orphan_entries = t._write_data(df, t.meta()["schema_version"], kind="delta")
+    assert orphan_entries  # files exist on disk...
+    n_before = t.read().count()
+
+    # ...but are invisible to scans and young enough to survive cleanup
+    assert t.remove_orphan_files(older_than_s=3600)["orphans_removed"] == 0
+    # age them past the grace period -> reclaimed
+    for e in orphan_entries:
+        full = os.path.join(t.path, e["path"])
+        os.utime(full, (time.time() - 7200, time.time() - 7200))
+    assert t.remove_orphan_files(older_than_s=3600)["orphans_removed"] == len(orphan_entries)
+    for e in orphan_entries:
+        assert not os.path.exists(os.path.join(t.path, e["path"]))
+    # referenced data is untouched and state is unchanged
+    assert t.read().count() == n_before
