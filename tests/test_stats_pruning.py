@@ -136,3 +136,57 @@ def test_stat_key_orders_timestamps():
     a = _stat_key(_ts("2026-06-01T00:00:00.000001"))
     b = _stat_key(_ts("2026-06-01T00:00:00.000002"))
     assert a < b and len(a) == len(b)
+
+
+def test_prune_by_stats_properties():
+    """Invariants over random manifests: (1) kept ⊆ files; (2) a file
+    holding an in-range value is NEVER pruned; (3) in a delta-bearing
+    bucket pruning is all-or-nothing; (4) no-stats files are never
+    pruned in delta-free buckets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    file_st = st.fixed_dictionaries(
+        {
+            "bucket": st.integers(0, 3),
+            "kind": st.sampled_from(["base", "delta"]),
+            "stats": st.one_of(
+                st.just({}),
+                st.tuples(st.integers(0, 100), st.integers(0, 100)).map(
+                    lambda t: {"v": [min(t), max(t)]}
+                ),
+            ),
+        }
+    )
+
+    @given(
+        st.lists(file_st, max_size=24),
+        st.integers(0, 100),
+        st.integers(0, 100),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(files, a, b):
+        for i, f in enumerate(files):
+            f["path"] = str(i)
+        lo, hi = min(a, b), max(a, b)
+        kept = LakeTable._prune_by_stats(files, {"v": (lo, hi)})
+        kept_paths = {f["path"] for f in kept}
+        assert kept_paths <= {f["path"] for f in files}
+        by_bucket = {}
+        for f in files:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        for bkt, fs in by_bucket.items():
+            has_delta = any(f["kind"] != "base" for f in fs)
+            in_bucket_kept = [f for f in fs if f["path"] in kept_paths]
+            for f in fs:
+                stats = f.get("stats", {}).get("v")
+                overlaps = stats is None or not (stats[1] < lo or stats[0] > hi)
+                if overlaps:
+                    # an overlapping (or unknown-bounds) file is only ever
+                    # dropped if its WHOLE bucket was proven out of range —
+                    # impossible when it itself overlaps
+                    assert f["path"] in kept_paths, (f, lo, hi)
+            if has_delta:
+                assert len(in_bucket_kept) in (0, len(fs))  # all-or-nothing
+
+    check()
