@@ -160,3 +160,28 @@ def test_similarity_plans_build_lazily(spark, sf_dir, monkeypatch):
     for name in ("embedding_ann_lsh", "embedding_near_dup_lsh", "embedding_topk_bruteforce"):
         df = entry_mod.queries()[name](spark, sf_dir)
         _ = df.columns  # force analysis, not execution
+
+
+def test_range_filter_scan_pushes_row_predicate(spark, tmp_path):
+    """scan(range_filter=) must do BOTH prunings: manifest-level file
+    skipping (fewer files planned) AND parquet-level predicate pushdown
+    on the surviving files (PushedFilters carries the bounds)."""
+    from pipeline_spark.datagen import StreamSpec, generate_epoch
+    from pipeline_spark.lake import LakeTable
+    from tests.test_lake_merge import PAGE_SCHEMA, spark_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "pg"), PAGE_SCHEMA, n_buckets=4)
+    spec = StreamSpec(n_events=800, n_urls=100, n_epochs=2)
+    for e in range(2):
+        t.merge(spark_batch(spark, generate_epoch(spec, e)))
+    t.compact(sort_by="warc_ts", rows_per_file=50)
+
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 1)
+    df = t.scan(range_filter={"warc_ts": (lo, None)})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "warc_ts" in pushed and "GreaterThanOrEqual" in pushed
+    assert "BatchEvalPython" not in plan
