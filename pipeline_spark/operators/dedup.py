@@ -121,9 +121,10 @@ def lsh_candidate_pairs(
 
     ``checkpoint`` controls how the bucket relation is shared between the
     self-join sides: ``"none"`` (default) recomputes the signature plan
-    per side — measured ~2x faster than materializing (signatures are
-    cheap JVM hash work; a localCheckpoint pays executor-disk write+read
-    of the whole bucket relation). ``"lazy"`` localCheckpoints it — worth
+    per side — measured faster than materializing both cold (19.5-26.3s
+    vs 29.9-37.3s, sf0.1, interleaved) and warm (1.7s vs 3.0s); the
+    signatures are cheap JVM hash work, while a localCheckpoint pays
+    executor-disk write+read of the whole bucket relation. ``"lazy"`` localCheckpoints it — worth
     it only when the UPSTREAM of the signatures is expensive (e.g. a
     non-reusable source or a heavy transform) and scanning it twice costs
     more than one materialization."""
