@@ -207,8 +207,13 @@ def response_check_scorer(responses_col: Column, server_prefix: str = "ECAcc ") 
     response or non-200 code → blocking 1; otherwise each 200 response
     whose Server header does not start with ``server_prefix`` adds 0.5.
     ``responses_col`` is array<struct<code:int, server:string>>; a NULL
-    element models the reference's "response is None" probe error."""
-    n = F.size(responses_col)
+    element models the reference's "response is None" probe error, and a
+    NULL *array* is treated like an empty one (no responses → blocked,
+    accuracy 0) so a missing test_keys section can't yield NULL scores
+    that silently drop rows from downstream threshold filters."""
+    # size(NULL) is -1 (legacy) or NULL (ANSI); normalize both to the
+    # no-responses branch via coalesce + n <= 0
+    n = F.coalesce(F.size(responses_col), F.lit(-1))
     any_null = F.exists(responses_col, lambda r: r.isNull())
     any_bad_code = F.exists(
         responses_col, lambda r: r.isNotNull() & (F.coalesce(r["code"], F.lit(0)) != 200)
@@ -222,13 +227,13 @@ def response_check_scorer(responses_col: Column, server_prefix: str = "ECAcc ") 
         )
     ).cast("double")
     blocking = (
-        F.when(n == 0, F.lit(1.0))
+        F.when(n <= 0, F.lit(1.0))
         .when(any_null | any_bad_code, F.lit(1.0))
         .otherwise(F.lit(0.5) * n_bad_server)
     )
-    accuracy = F.when(n == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    accuracy = F.when(n <= 0, F.lit(0.0)).otherwise(F.lit(1.0))
     msg = (
-        F.when(n == 0, F.lit("no requests"))
+        F.when(n <= 0, F.lit("no requests"))
         .when(any_null, F.lit("missing response"))
         .when(any_bad_code, F.lit("non-200 response"))
         .otherwise(F.concat(F.lit("bad_server="), n_bad_server.cast("int").cast("string")))
@@ -263,11 +268,23 @@ def version_key(v: Column) -> Column:
     """Sortable dotted-version key: each numeric segment zero-padded to 5
     digits ('0.2.2' → '00000.00002.00002'), so plain string comparison
     orders like the reference's parse_version (core.py:1354-1366) for
-    segments < 100000."""
-    return F.array_join(F.transform(F.split(v, r"\."), lambda s: F.lpad(s, 5, "0")), ".")
+    segments < 100000. Longer segments pass through unpadded (lpad would
+    TRUNCATE them): ordering beyond 5 digits is not guaranteed, but the
+    encoding matches :func:`_version_key_literal` (zfill never truncates)
+    exactly, so column-vs-literal gate comparisons never silently use
+    different widths for the same segment."""
+    return F.array_join(
+        F.transform(
+            F.split(v, r"\."),
+            lambda s: F.when(F.length(s) > 5, s).otherwise(F.lpad(s, 5, "0")),
+        ),
+        ".",
+    )
 
 
 def _version_key_literal(v: str) -> str:
+    # zfill pads but never truncates — the column expression above mirrors
+    # this exactly (pad to 5, pass through longer segments untouched)
     return ".".join(seg.zfill(5) for seg in v.split("."))
 
 

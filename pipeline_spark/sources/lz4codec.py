@@ -284,12 +284,26 @@ def _decompress_frame_py(data: bytes) -> bytes:
 
 def decompress_frame(data: bytes) -> bytes:
     """Decode concatenated LZ4 frame(s) — native ``lz4.frame`` when
-    importable, the pure-Python decoder otherwise."""
+    importable AND the payload is a standard frame, the pure-Python
+    decoder otherwise.
+
+    Dispatch is by magic bytes: native ``lz4.frame.decompress`` rejects
+    the legacy-frame magic (0x184C2102) and skippable frames, which this
+    module exists to read — those route straight to the Python decoder.
+    A standard-magic payload that the native codec still chokes on
+    (e.g. trailing concatenated legacy frames) falls back too, instead
+    of surfacing the native error."""
+    if len(data) >= 4:
+        (magic,) = struct.unpack_from("<I", data, 0)
+        if magic != _MAGIC:  # legacy / skippable lead frame → pure Python
+            return _decompress_frame_py(data)
     try:  # pragma: no cover - native module absent in this environment
         import lz4.frame as _native
-
-        return _native.decompress(data)
     except ImportError:
+        return _decompress_frame_py(data)
+    try:  # pragma: no cover - native module absent in this environment
+        return _native.decompress(data)
+    except Exception:
         return _decompress_frame_py(data)
 
 

@@ -70,10 +70,12 @@ def replay_stream(
     into an incremental aggregate, publish gauges. Skipped batches don't
     fire it, so a consumer keyed on snapshot versions sees each commit
     exactly once.
-    Micro-batches are bounded (``maxFilesPerTrigger``), so the winner
-    keyset always fits a broadcast — ``merge`` runs with
-    ``broadcast_winners=True``; unbounded backfills go through
-    :func:`batch_replay`, which size-gates it.
+    When ``max_files_per_trigger`` is set, micro-batches are bounded, so
+    the winner keyset always fits a broadcast — ``merge`` runs with
+    ``broadcast_winners=True`` and skips the size-gate count job. With no
+    cap, ``trigger(availableNow)`` delivers the ENTIRE backlog as one
+    micro-batch, so the keyset is unbounded and merge falls back to
+    ``"auto"`` (size-gated), same as :func:`batch_replay`.
     """
     assert extract in ("winners", "eager")
     reader = spark.readStream.schema(schema_ddl).option("recursiveFileLookup", "true")
@@ -98,9 +100,10 @@ def replay_stream(
             extra_lineage={"batch_id": batch_id, "stream_id": stream_id},
             salt_buckets=salt_buckets,
             post_merge=None if extract == "eager" else fill_text,
-            # micro-batches are maxFilesPerTrigger-bounded → the winner
-            # keyset always fits a broadcast; skip "auto"'s count job
-            broadcast_winners=True,
+            # a maxFilesPerTrigger cap bounds the micro-batch → winner
+            # keyset fits a broadcast, skip "auto"'s count job; uncapped
+            # availableNow = whole backlog in one batch → size-gate it
+            broadcast_winners=True if max_files_per_trigger else "auto",
         )
         if lin is None:
             counters["batches_skipped"] += 1

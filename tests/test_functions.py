@@ -70,3 +70,34 @@ def test_scores_to_json_golden(spark):
     s = make_scores(F.lit(1).cast("double"), F.lit(0).cast("double"), F.lit("match"))
     got = df.select(scores_to_json(s)).collect()[0][0]
     assert got == '{"blocking":1.0,"accuracy":0.0,"msg":"match"}'
+
+
+def test_version_key_never_truncates_and_matches_literal(spark):
+    """ADVICE r3: lpad truncated >5-digit segments while the literal side
+    (zfill) never does — the two encodings must agree byte-for-byte so
+    version-gate comparisons can't silently mis-order."""
+    from pipeline_spark.operators.scoring import _version_key_literal, version_key
+
+    versions = ["0.2.2", "1.23.456", "4.123456.7", "123456", "10.0"]
+    df = spark.createDataFrame([(v,) for v in versions], "v string")
+    got = [r[0] for r in df.select(version_key(F.col("v"))).collect()]
+    assert got == [_version_key_literal(v) for v in versions]
+    # the documented <100000 range still orders correctly
+    assert _version_key_literal("0.9.9") < _version_key_literal("0.10.0")
+    k = {v: g for v, g in zip(versions, got)}
+    assert k["0.2.2"] < k["1.23.456"]
+
+
+def test_response_check_scorer_null_array_is_unscorable_blocked(spark):
+    """ADVICE r3: a NULL responses array (missing test_keys section) must
+    behave like the empty array — blocking 1, accuracy 0 — not yield a
+    NULL scores struct that drops out of downstream threshold filters."""
+    from pipeline_spark.operators.scoring import response_check_scorer
+
+    schema = "responses array<struct<code:int, server:string>>"
+    df = spark.createDataFrame([(None,), ([],), ([(200, "ECAcc x")],)], schema)
+    rows = df.select(response_check_scorer(F.col("responses")).alias("s")).collect()
+    null_arr, empty_arr, ok = (r["s"] for r in rows)
+    assert null_arr == empty_arr  # NULL array ≡ empty array
+    assert (null_arr["blocking"], null_arr["accuracy"], null_arr["msg"]) == (1.0, 0.0, "no requests")
+    assert (ok["blocking"], ok["accuracy"]) == (0.0, 1.0)

@@ -157,3 +157,35 @@ def test_yaml_lz4_replay(spark, tmp_path):
     assert df.agg({"_broken": "sum"}).collect()[0][0] == sum(
         (len(p) + 39) // 40 for p in pdfs
     )
+
+
+def test_native_dispatch_legacy_bypasses_and_errors_fall_back(monkeypatch):
+    """ADVICE r3: a cluster image that ships python-lz4 must still read
+    legacy cans — legacy/skippable magic routes straight to the Python
+    decoder (native never consulted), and a native failure on a
+    standard-magic payload retries pure-Python instead of raising."""
+    import sys
+    import types
+
+    calls = {"n": 0}
+
+    def boom(data):
+        calls["n"] += 1
+        raise RuntimeError("native codec rejects this payload")
+
+    fake_frame = types.ModuleType("lz4.frame")
+    fake_frame.decompress = boom
+    fake_pkg = types.ModuleType("lz4")
+    fake_pkg.frame = fake_frame
+    monkeypatch.setitem(sys.modules, "lz4", fake_pkg)
+    monkeypatch.setitem(sys.modules, "lz4.frame", fake_frame)
+
+    body = b"payload for dispatch test " * 200
+    blk = compress_block(body)
+    legacy = struct.pack("<I", 0x184C2102) + struct.pack("<I", len(blk)) + blk
+    assert decompress_frame(legacy) == body
+    assert calls["n"] == 0  # legacy magic: native codec never consulted
+
+    std = compress_frame(body)
+    assert decompress_frame(std) == body  # native raised → pure-Python retry
+    assert calls["n"] == 1

@@ -144,3 +144,35 @@ def test_fence_skipped_batches_never_compact(spark, tmp_path, stream_dir, expect
     compactions_after = sum(1 for r in t.lineage_records() if r.get("action") == "compact")
     assert compactions_after == compactions_before
     assert t.current_version() == v1
+
+
+def test_uncapped_replay_size_gates_winner_broadcast(spark, tmp_path):
+    """ADVICE r3: with no maxFilesPerTrigger cap, availableNow delivers
+    the ENTIRE backlog as one micro-batch, so replay_stream must pass
+    broadcast_winners="auto" (size-gated) to merge — hardcoded True was
+    an OOM hazard on large backfills. A set cap keeps the fast True path."""
+    src = tmp_path / "src"
+    spark.range(0, 10).selectExpr("id", "id AS version").write.parquet(str(src))
+
+    captured = []
+
+    class FakeTable:
+        def merge(self, batch_df, **kw):
+            captured.append(kw["broadcast_winners"])
+            return {"rows_in": batch_df.count()}
+
+        def compact(self):
+            raise AssertionError("not expected")
+
+    replay_stream(
+        spark, str(src), FakeTable(), str(tmp_path / "ck1"),
+        schema_ddl="id bigint, version bigint",
+    )
+    assert captured == ["auto"]
+
+    captured.clear()
+    replay_stream(
+        spark, str(src), FakeTable(), str(tmp_path / "ck2"),
+        schema_ddl="id bigint, version bigint", max_files_per_trigger=100,
+    )
+    assert captured and all(bw is True for bw in captured)
