@@ -83,3 +83,20 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_is_fully_oracled():
+    """The driver hard-gates exactly the first 50 exported queries: every
+    one of those slots must carry a DuckDB oracle (rows-only checks are
+    weaker and belong after the window), and the export must cover the
+    whole catalog exactly once."""
+    qs = list(entry_mod.queries())
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) == len(set(qs))
+    window = qs[:50]
+    missing = [n for n in window if n not in oracles]
+    assert missing == [], f"non-oracled queries inside the driver window: {missing}"
+    # rows-only queries all come after every oracled query
+    first_rows_only = min((qs.index(n) for n in qs if n not in oracles), default=len(qs))
+    last_oracled = max(qs.index(n) for n in oracles)
+    assert last_oracled < first_rows_only or first_rows_only == len(qs)
