@@ -45,7 +45,11 @@ def get_spark(
         # is ~75 MB and the pandas regex pipeline copies it ~5× per pass —
         # at 32 workers that saturates the memory bus (measured 7× slower).
         # 512 rows keeps each worker's working set cache-friendly.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Env-overridable for A/B profiling only; 512 is the tuned default.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # generational ZGC: the merge path churns short-lived binary-payload
         # rows; measured ~25% faster than default G1 at local[32] (GC time
