@@ -127,7 +127,19 @@ def lsh_candidate_pairs(
     executor-disk write+read of the whole bucket relation. ``"lazy"`` localCheckpoints it — worth
     it only when the UPSTREAM of the signatures is expensive (e.g. a
     non-reusable source or a heavy transform) and scanning it twice costs
-    more than one materialization."""
+    more than one materialization.
+
+    Cold-cost floor (round-4 profile, BENCH/experiments/minhash_cold.py):
+    in a FRESH session the 100-doc pipeline costs ~9s regardless of
+    variant — ~2.1s first-read/session init, ~1.5s Python-side plan
+    construction (hundreds of py4j Column calls for k×2 hash exprs),
+    ~0.8s analysis/physical planning, and the rest first-run codegen
+    (warm re-exec of the same plan is 0.84s vs 4.5s cold). ``"lazy"``
+    and a collect_list-based no-self-join variant move cost between the
+    build and exec columns but leave the total unchanged (9.3s / 9.6s).
+    The bench's 2.6-3.4s round-to-round swing is codegen/host variance
+    on this fixed overhead, not a data-path regression — at real scale
+    the same plan cost is amortized over the full corpus."""
     k = bands * rows
     assert all(f"mh{i}" in sigs.columns for i in range(k)), "need mh0..mh{k-1}"
     if hash_basis == "md5":
