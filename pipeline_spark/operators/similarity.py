@@ -10,6 +10,11 @@
   bits → bucket id; queries probe their own bucket (plus optional
   multi-probe neighbors at Hamming distance 1). The 100 TB path: the
   corpus is bucketed once (one shuffle), each query touches ~corpus/2^P.
+* :func:`ivf_fit_centroids` / :func:`ivf_ann_topk` — IVF-Flat: a
+  deterministic Lloyd's-k-means coarse quantizer partitions the corpus
+  into data-dependent cells; queries probe the ``n_probe`` nearest cells
+  via an equi-join. The data-adaptive counterpart to the LSH path (cells
+  follow cluster structure; recall tunes with n_probe at a fixed index).
 """
 
 from __future__ import annotations
@@ -203,4 +208,123 @@ def embedding_near_dup_pairs(
         cand.withColumn("cos_sim", cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+# ----------------------------------------------------------------- IVF-Flat
+
+
+def _centroid_arr(centroids: list[list[float]]) -> Column:
+    """Centroids as a literal array<array<double>> (bounded model state —
+    k×dim scalars baked into the plan, the same pattern as the LSH
+    plane literals)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _dist_idx_arr(emb: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d,double idx,int>> of squared-L2 distances to every
+    centroid — struct comparison orders by the leading field, so
+    ``array_min`` / ``array_sort`` give argmin / probe order JVM-side."""
+    cols = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(emb, arr, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+        )
+        # named_struct: alias-inside-struct does not survive for aggregate
+        # lambda expressions (fields came out col1/col2)
+        cols.append(F.named_struct(F.lit("d"), d, F.lit("idx"), F.lit(i)))
+    return F.array(*cols)
+
+
+def ivf_assign(emb: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (the IVF coarse quantizer) — pure JVM exprs."""
+    return F.array_min(_dist_idx_arr(emb, centroids))["idx"]
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: the ``n_centroids`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` — a seeded uniform data sample with no RNG
+    state. Each iteration is two distributed passes: (1) assign every
+    vector to its nearest centroid (JVM argmin over centroid literals),
+    (2) per-cluster mean via ``posexplode`` + one groupBy — the shuffle
+    carries (cluster, pos, component), ~12 B/row. Only the k×dim centroid
+    matrix ever reaches the driver (bounded model state, like a fitted
+    scaler — NOT per-row data). Empty clusters keep their previous
+    centroid. At 100 TB you fit on a seeded sample; assignment stays a
+    full-scan column expression.
+    """
+    sample = (
+        corpus.select(F.col(emb_col).alias("e"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["e"]] for r in sample]
+    for _ in range(iters):
+        assigned = corpus.select(
+            ivf_assign(F.col(emb_col), centroids).alias("c"), F.posexplode(F.col(emb_col))
+        )
+        means = (
+            assigned.groupBy("c", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("c")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {r["c"]: [float(x) for x in r["centroid"]] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(n_centroids)]
+    return centroids
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k (the inverted-file counterpart to
+    :func:`lsh_ann_topk`): the corpus is partitioned once by nearest
+    centroid (one column expression, one shuffle key); each query scores
+    only the ``n_probe`` nearest cells. Candidate generation is an
+    EQUI-join on the cell id — each query touches ~corpus×(n_probe/k_c)
+    vectors, never the full corpus. Exact cosine + windowed top-k on the
+    candidates. Data-dependent cells adapt to cluster structure, which
+    random hyperplanes cannot; recall is tuned by ``n_probe`` alone at a
+    fixed index."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        ivf_assign(F.col(emb_col), centroids).alias("cell"),
+    )
+    probes = F.slice(F.array_sort(_dist_idx_arr(F.col(emb_col), centroids)), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(F.transform(probes, lambda s: s["idx"])).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )

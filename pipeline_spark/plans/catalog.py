@@ -704,6 +704,19 @@ def emb_ann(spark, sf):
     return S.lsh_ann_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)
 
 
+@q("embedding_ann_ivf", None)  # approximate by design → rows-only; recall tested in pytest
+def emb_ann_ivf(spark, sf):
+    """IVF-Flat ANN: deterministic k-means cells + n_probe nearest-cell
+    equi-join (operators/similarity.py:ivf_ann_topk) — the data-adaptive
+    counterpart to the LSH tables."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = S.ivf_fit_centroids(emb, n_centroids=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_ann_topk(emb, queries, cents, k=5, n_probe=3)
+
+
 @q(
     "embedding_near_dup",
     """

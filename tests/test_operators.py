@@ -124,6 +124,32 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall {recall} too low"
 
 
+def test_ivf_ann_recall_and_determinism(spark, sf_dir):
+    """IVF-Flat: deterministic fit (same seed → identical centroids),
+    candidate subset exactness (scores are true cosines), and recall vs
+    brute force at moderate n_probe. Full-probe IVF (n_probe = k_c) must
+    equal brute force exactly — every cell is scanned."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = S.ivf_fit_centroids(emb, n_centroids=8, iters=2)
+    assert cents == S.ivf_fit_centroids(emb, n_centroids=8, iters=2)  # deterministic
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, qs, k=5).collect()}
+    approx_rows = S.ivf_ann_topk(emb, qs, cents, k=5, n_probe=3).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+    full = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in S.ivf_ann_topk(emb, qs, cents, k=5, n_probe=8).collect()}
+    brute = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+             for r in S.brute_force_topk(emb, qs, k=5).collect()}
+    assert full == brute  # probing every cell == exhaustive search
+
+
 def test_near_dup_lsh_recall_vs_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
