@@ -249,6 +249,7 @@ def ivf_fit_centroids(
     emb_col: str = "embedding",
     iters: int = 3,
     seed: int = 42,
+    sample_mod: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
@@ -260,9 +261,16 @@ def ivf_fit_centroids(
     carries (cluster, pos, component), ~12 B/row. Only the k×dim centroid
     matrix ever reaches the driver (bounded model state, like a fitted
     scaler — NOT per-row data). Empty clusters keep their previous
-    centroid. At 100 TB you fit on a seeded sample; assignment stays a
-    full-scan column expression.
+    centroid. At 100 TB, fit on a deterministic sample via
+    ``sample_mod=m`` (keeps rows where ``xxhash64(id, seed) % m == 0`` —
+    a ~1/m VALUE-keyed sample, reproducible regardless of partitioning,
+    unlike ``DataFrame.sample``); assignment stays a full-scan column
+    expression.
     """
+    if sample_mod:
+        corpus = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 7)), F.lit(sample_mod)) == 0
+        )
     sample = (
         corpus.select(F.col(emb_col).alias("e"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
         .orderBy("h")

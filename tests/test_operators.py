@@ -136,6 +136,12 @@ def test_ivf_ann_recall_and_determinism(spark, sf_dir):
     cents = S.ivf_fit_centroids(emb, n_centroids=8, iters=2)
     assert cents == S.ivf_fit_centroids(emb, n_centroids=8, iters=2)  # deterministic
     assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # value-keyed sampling selects the same rows under any partitioning
+    # (means may differ in last ulps from float summation order)
+    import numpy as np
+    cs = S.ivf_fit_centroids(emb, n_centroids=4, iters=1, sample_mod=2)
+    cs2 = S.ivf_fit_centroids(emb.repartition(7), n_centroids=4, iters=1, sample_mod=2)
+    assert np.allclose(np.array(cs), np.array(cs2), atol=1e-9)
 
     exact = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, qs, k=5).collect()}
     approx_rows = S.ivf_ann_topk(emb, qs, cents, k=5, n_probe=3).collect()
