@@ -83,14 +83,20 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _shingle_hash(col, i: int, hash_basis: str):
+def _shingle_hash_sql(col: str, i: int, hash_basis: str) -> str:
+    """SQL text for hash #i of a shingle column. Built as ONE ``F.expr``
+    string per aggregate rather than nested Column calls: the k×(bands)
+    expression fan-out makes py4j round-trips the dominant plan-BUILD
+    cost (measured 3.7× faster as text, 0.26s → 0.07s for k=32), and
+    this query's cost is fixed overhead, not data (see the cold-cost
+    floor note in :func:`lsh_candidate_pairs`)."""
     if hash_basis == "xxhash64":
-        return F.xxhash64(F.concat(col, F.lit(f"#{i}")))
+        return f"xxhash64(concat({col}, '#{i}'))"
     # md5 basis: first 8 digest bytes big-endian as unsigned decimal —
     # bit-identical to DuckDB's CAST('0x'||substr(md5(x),1,16) AS UBIGINT),
     # which makes the whole MinHash+LSH pipeline oracle-expressible in SQL
     assert hash_basis == "md5", hash_basis
-    return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 16), 16, 10).cast("decimal(20,0)")
+    return f"CAST(conv(substring(md5(concat({col}, '#{i}')), 1, 16), 16, 10) AS DECIMAL(20,0))"
 
 
 def minhash_signatures(
@@ -105,7 +111,7 @@ def minhash_signatures(
     ``"md5"`` trades ~2× hash cost for an exact DuckDB oracle twin.
     """
     sh = shingles(df, text_col, id_col, n)
-    aggs = [F.min(_shingle_hash(F.col("shingle"), i, hash_basis)).alias(f"mh{i}") for i in range(k)]
+    aggs = [F.expr(f"min({_shingle_hash_sql('shingle', i, hash_basis)}) AS mh{i}") for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -144,11 +150,13 @@ def lsh_candidate_pairs(
     assert all(f"mh{i}" in sigs.columns for i in range(k)), "need mh0..mh{k-1}"
     if hash_basis == "md5":
         def band_key(b):
-            return F.md5(F.concat_ws("#", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]))
+            cols = ", ".join(f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows))
+            return f"md5(concat_ws('#', {cols}))"
     else:
         def band_key(b):
-            return F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).cast("string")
-    band_arr = F.array(*[band_key(b) for b in range(bands)])
+            cols = ", ".join(f"mh{b * rows + r}" for r in range(rows))
+            return f"CAST(xxhash64({cols}) AS STRING)"
+    band_arr = F.expr(f"array({', '.join(band_key(b) for b in range(bands))})")
     buckets = sigs.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bsig"))
     if checkpoint == "lazy":
         buckets = buckets.localCheckpoint(eager=False)
