@@ -185,3 +185,23 @@ def test_range_filter_scan_pushes_row_predicate(spark, tmp_path):
     pushed = plan.split("PushedFilters")[1][:300]
     assert "warc_ts" in pushed and "GreaterThanOrEqual" in pushed
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_tables_single_corpus_scan(spark, sf_dir):
+    """Multi-table LSH must compute every table's bucket key in ONE pass
+    over the corpus (explode) — a union of per-table selects scans the
+    input n_tables times, the difference between 1x and 8x input I/O at
+    100 TB. Gate: the near-dup plan reads embeddings.parquet at most
+    twice (the two self-join sides), and the ANN top-k plan at most
+    twice (corpus side + query side)."""
+    from pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    plan = _plan(S.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4, n_tables=8, dim=64))
+    assert plan.count("embeddings.parquet") <= 2, plan.count("embeddings.parquet")
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    plan2 = _plan(S.lsh_ann_topk(emb, qs, k=5, n_planes=4, n_tables=4, dim=64))
+    assert plan2.count("embeddings.parquet") <= 2, plan2.count("embeddings.parquet")
