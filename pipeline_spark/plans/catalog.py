@@ -1097,6 +1097,73 @@ def lake_time_slice_q(spark, sf):
 
 
 @q(
+    "cdc_stream_replay_state",
+    """
+    SELECT user_id AS uid, ts, event_type, round(value, 2) AS value_r
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def cdc_stream_replay_q(spark, sf):
+    """The ENTIRE streaming engine path under a full value oracle: the
+    events table is written out as 3 epoch-file chunks, replayed through
+    the real ``replay_stream`` (Structured Streaming file source,
+    micro-batch fences, merge-on-read commits), and the final
+    LWW-resolved scan must equal plain SQL latest-per-key over the raw
+    table. Unlike ``cdc_lww_state`` (the LWW expression alone) and
+    ``cdc_replay_final_state`` (rows-only, self-generated stream), this
+    row drives checkpointing, fencing, delta commits AND the MOR read
+    path against an independent oracle. Chunks split on event_id ranges,
+    so the engine's (ts, epoch, offset) order equals the oracle's
+    (ts, event_id) order."""
+    import os
+    import tempfile
+
+    from pipeline_spark.lake import LakeTable
+    from pipeline_spark.streaming import replay_stream
+
+    e = _t(spark, sf, "events")
+    n = e.agg(F.max("event_id")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="cdc_stream_replay_")
+    stream = os.path.join(work, "stream")
+    for c in range(3):
+        lo, hi = c * n // 3, (c + 1) * n // 3
+        (
+            e.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .select(
+                F.lit("U").alias("op"),
+                F.col("user_id").cast("string").alias("uid"),
+                F.col("ts"),
+                F.col("event_type"),
+                F.col("value"),
+                F.lit(c).cast("long").alias("epoch"),
+                F.col("event_id").alias("offset"),
+            )
+            .coalesce(1)
+            .write.parquet(os.path.join(stream, f"ep-{c:04d}"))
+        )
+    t = LakeTable.create(
+        spark,
+        os.path.join(work, "state"),
+        [("uid", "string"), ("ts", "timestamp"), ("event_type", "string"), ("value", "double")],
+        key="uid",
+        version_col="ts",
+        n_buckets=8,
+    )
+    replay_stream(
+        spark,
+        stream,
+        t,
+        checkpoint=os.path.join(work, "ckpt"),
+        stream_id="cdc_oracle",
+        max_files_per_trigger=1,
+        schema_ddl="op string, uid string, ts timestamp, event_type string, value double, epoch long, offset long",
+        extract="none",
+    )
+    return t.read().select("uid", "ts", "event_type", F.round("value", 2).alias("value_r"))
+
+
+@q(
     "lineage_log",
     """
     WITH n AS (SELECT max(event_id) + 1 AS n FROM events),
@@ -1194,6 +1261,7 @@ _DEFERRED = [
     "word_jaccard_pairs",         # dedup family: minhash_lsh_pairs_md5_oracle, simhash
     "lang_id_heuristic",          # text family: text_quality, doc_fingerprint
     "embedding_near_dup",         # similarity family: embedding_topk_bruteforce
+    "canonical_name_map",         # P13: unit-tested (test_functions.py::test_canonicalize_*)
 ]
 
 

@@ -58,7 +58,8 @@ def replay_stream(
         surviving rows (latest-state consumers; minimal UDF work);
       * ``"eager"`` — derive ``text`` for EVERY change event before the
         merge (consumers that read every revision's text; the
-        transform-stage-dominant profile).
+        transform-stage-dominant profile);
+      * ``"none"`` — no derived column (tables without an html payload).
 
     ``compact_every``: fold merge-on-read deltas into base every N batches
     (0 = never; run :meth:`LakeTable.compact` as separate maintenance).
@@ -77,7 +78,7 @@ def replay_stream(
     micro-batch, so the keyset is unbounded and merge falls back to
     ``"auto"`` (size-gated), same as :func:`batch_replay`.
     """
-    assert extract in ("winners", "eager")
+    assert extract in ("winners", "eager", "none")
     reader = spark.readStream.schema(schema_ddl).option("recursiveFileLookup", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -99,7 +100,7 @@ def replay_stream(
             fence=(stream_id, batch_id),
             extra_lineage={"batch_id": batch_id, "stream_id": stream_id},
             salt_buckets=salt_buckets,
-            post_merge=None if extract == "eager" else fill_text,
+            post_merge=fill_text if extract == "winners" else None,
             # a maxFilesPerTrigger cap bounds the micro-batch → winner
             # keyset fits a broadcast, skip "auto"'s count job; uncapped
             # availableNow = whole backlog in one batch → size-gate it
