@@ -582,10 +582,10 @@ scenario (~10^4× this benchmark) sits where that fixed cost vanishes
 entirely. The smaller 1M profile above remains the conservative
 headline, not a cherry-pick.
 
-Round-4 append (estimator stress test, by design): two further repeats
-ran uncurated in a quiet window and produced new 2-core floors (172.1s,
-175.5s) without matching 8-core floors — best-of-mins duly moved
-0.819 → 0.776 (the cross-window fragility it was demoted for), while
+Round-4 append (estimator stress test, by design): four further repeats
+ran uncurated in quiet windows and produced new 2-core floors
+(171.4-177.5s) without matching 8-core floors — best-of-mins duly moved
+0.819 → 0.772 (the cross-window fragility it was demoted for), while
 the PRIMARY same-repeat estimator held at 0.84 and the quiet-window
 extract stage reached 0.962 at 2→8. All attempts are in the JSON.
 """
