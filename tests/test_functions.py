@@ -101,3 +101,29 @@ def test_response_check_scorer_null_array_is_unscorable_blocked(spark):
     assert null_arr == empty_arr  # NULL array ≡ empty array
     assert (null_arr["blocking"], null_arr["accuracy"], null_arr["msg"]) == (1.0, 0.0, "no requests")
     assert (ok["blocking"], ok["accuracy"]) == (0.0, 1.0)
+
+
+def test_version_key_orders_like_tuples_property():
+    """For segments < 100000 (the documented range) the encoded string
+    order must equal numeric tuple order — property-checked Python-side
+    (the column expression mirrors this encoding byte-for-byte, covered
+    by test_version_key_never_truncates_and_matches_literal)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pipeline_spark.operators.scoring import _version_key_literal
+
+    seg = st.integers(min_value=0, max_value=99_999)
+    ver = st.lists(seg, min_size=1, max_size=4)
+
+    @settings(max_examples=200, deadline=None)
+    @given(ver, ver)
+    def check(a, b):
+        sa, sb = ".".join(map(str, a)), ".".join(map(str, b))
+        ka, kb = _version_key_literal(sa), _version_key_literal(sb)
+        # same-length version lists: string order == numeric order
+        if len(a) == len(b):
+            assert (ka < kb) == (tuple(a) < tuple(b)), (sa, sb)
+        # equality always corresponds
+        assert (ka == kb) == (a == b)
+
+    check()

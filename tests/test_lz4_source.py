@@ -189,3 +189,42 @@ def test_native_dispatch_legacy_bypasses_and_errors_fall_back(monkeypatch):
     std = compress_frame(body)
     assert decompress_frame(std) == body  # native raised → pure-Python retry
     assert calls["n"] == 1
+
+
+# ---------------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=20_000))
+def test_frame_roundtrip_property(data):
+    """compress_frame → decompress_frame is identity for ANY bytes."""
+    assert decompress_frame(compress_frame(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=8_000),
+    st.integers(min_value=16, max_value=4096),
+    st.booleans(),
+)
+def test_frame_roundtrip_any_block_size(data, block_size, csum):
+    assert decompress_frame(compress_frame(data, block_size=block_size, content_checksum=csum)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=3_000), min_size=1, max_size=4))
+def test_concatenated_frames_property(parts):
+    """Concatenated frames decode to the concatenated payloads (the
+    multi-can file shape); skippable frames interleaved anywhere are
+    ignored."""
+    skippable = struct.pack("<II", 0x184D2A50, 4) + b"\x00\x00\x00\x00"
+    blob = skippable + skippable.join(compress_frame(p) for p in parts)
+    assert decompress_frame(blob) == b"".join(parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=10_000))
+def test_block_roundtrip_property(data):
+    assert decompress_block(compress_block(data)) == data
