@@ -303,12 +303,14 @@ def main() -> None:
                     results[k] = min(old)
                 old_ex = prev.get("extract_attempts_sec", {}).get(str(k), [])
                 extract_attempts[k].extend(old_ex)
+        mem_control: dict[int, float] = {}
         for r in range(repeats):
             for k in levels:
                 t = replay_at(k)
                 attempts[k].append(round(t, 3))
                 results[k] = min(results.get(k, 1e18), t)
                 control[k] = max(control.get(k, 0.0), _cpu_spin_control(k))
+                mem_control[k] = max(mem_control.get(k, 0.0), _mem_regex_control(k))
                 if r == 0:
                     p = subprocess.run(
                         [sys.executable, os.path.abspath(__file__), "--extract-stage-only", "--cpus", str(k)],
@@ -344,6 +346,10 @@ def main() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "host_cpu_control_efficiency": round(ctrl_eff, 3),
             }
+            if mem_control.get(lo) and mem_control.get(hi):
+                entry["host_mem_control_efficiency"] = round(
+                    (mem_control[hi] / mem_control[lo]) / (hi / lo), 3
+                )
             if extract_stage.get(lo) and extract_stage.get(hi):
                 entry["extract_stage_seconds_low"] = extract_stage[lo]
                 entry["extract_stage_seconds_high"] = extract_stage[hi]
@@ -415,6 +421,41 @@ def _spin(secs: float) -> int:
     return x
 
 
+_MEM_BODIES = None
+
+
+def _mem_body_init():
+    global _MEM_BODIES
+    from pipeline_spark.datagen import StreamSpec, generate_epoch
+
+    spec = StreamSpec(n_events=400, n_urls=100, n_epochs=1, body_paras=50)
+    _MEM_BODIES = [b for b in generate_epoch(spec, 0)["html"].tolist() if b is not None][:200]
+
+
+def _mem_work(n_iter: int) -> int:
+    from pipeline_spark.extraction import extract_text_py
+
+    total = 0
+    for i in range(n_iter):
+        total += len(extract_text_py(_MEM_BODIES[i % len(_MEM_BODIES)]))
+    return total
+
+
+def _mem_regex_control(n: int, per_proc: int = 400) -> float:
+    """Memory-touching host control: the extraction kernel itself under
+    plain multiprocessing at n processes (bodies/sec). The spin control
+    is register-only and BLIND to memory-bus contention (round-4
+    finding) — this control moves real bytes through the same regex
+    kernel the workload runs, so its N→4N ratio bounds what a
+    memory-heavy stage could measure in the same window."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    with mp.Pool(n, initializer=_mem_body_init) as p:
+        p.map(_mem_work, [per_proc] * n)
+    return n * per_proc / (time.monotonic() - t0)
+
+
 def _cpu_spin_control(n: int, secs: float = 3.0) -> float:
     """Pure-CPU multiprocessing control: iterations/sec at n processes.
     Establishes THIS HOST's parallel-speedup ceiling (virtualization steal,
@@ -436,7 +477,8 @@ def _write_baseline_md(s: dict) -> None:
         f"| **{p.get('best_repeat_pair_efficiency', '—')}** "
         f"| {p['scaling_efficiency']} "
         f"| {p.get('extract_stage_efficiency', '—')} "
-        f"| {p['host_cpu_control_efficiency']} |"
+        f"| {p['host_cpu_control_efficiency']} "
+        f"| {p.get('host_mem_control_efficiency', '—')} |"
         for p in s["pairs"]
     )
     with open(path, "w") as f:
@@ -456,8 +498,8 @@ Python-UDF warmup excluded from the timed region, best-of-N wall time per
 level — the host is a shared VM whose available CPU swings between runs;
 per-attempt times below show the spread).
 
-| N → 4N | full replay sec | events/sec | replay eff. (best same-repeat, PRIMARY) | best-of mins | extract-stage eff. | host CPU control |
-|---|---|---|---|---|---|---|
+| N → 4N | full replay sec | events/sec | replay eff. (best same-repeat, PRIMARY) | best-of mins | extract-stage eff. | host CPU control | host MEM control |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 efficiency = (T_N / T_4N) / 4.
@@ -503,7 +545,11 @@ Extract-stage attempts (seconds):
   raw number is the gate, the normalized one explains the residual).
   CAVEAT (round-4 finding): the spin loop is register-only — it is BLIND
   to memory-bus and I/O contention, so a healthy spin control does NOT
-  certify a clean window for memory-heavy work. This is what produced
+  certify a clean window for memory-heavy work. The **host MEM control**
+  column addresses this: it runs the extraction kernel itself (real
+  bytes through the same regex pipeline) under plain multiprocessing at
+  the same process counts — its N→4N ratio bounds what a memory-heavy
+  stage could measure in that window. This is what produced
   round 3's apparent contradiction (0.812 control beside a 0.189
   extract-stage ratio): not a workload bottleneck, a control blind spot.
 * **The 8→32 "inversion" was bounded-resource noise, not a source cap**
