@@ -1,0 +1,65 @@
+"""Scorer parity pinned to the REFERENCE's own published unit-test
+expectations (af/fastpath/fastpath/tests/test_unit.py) — not just our
+DuckDB oracles. Each case reconstructs the behavioral content of a
+reference fixture in our column schema and asserts the exact
+blocking/accuracy values the reference test asserts.
+
+Covered here:
+* meek / meek2 / meek3 (test_unit.py:489-527; scorer core.py:1154-1194):
+  non-200 → 1.0; all 200 + "ECAcc " Server → 0.0; a 200 with a foreign
+  Server adds 0.5; empty requests → blocked AND unscorable.
+* signal_022 (test_unit.py:548-559; scorer core.py:1344-1378): status
+  "ok" on a post-gate version → blocking 0; plus the version-gate
+  unusable branch (ooni/probe#2344 patch semantics).
+"""
+
+from pyspark.sql import functions as F
+
+from pipeline_spark.operators.scoring import response_check_scorer, status_gate_scorer
+
+RESP_SCHEMA = "responses array<struct<code:int, server:string>>"
+
+
+def _score(spark, rows, schema, scorer):
+    df = spark.createDataFrame(rows, schema)
+    return [r["s"] for r in df.select(scorer.alias("s")).collect()]
+
+
+def test_meek_trio_matches_reference_expectations(spark):
+    rows = [
+        ([(403, "CloudFront")],),          # "meek": non-200 response
+        ([(200, "ECAcc (mil/6CA5)")],),    # "meek2": fronted OK
+        ([(200, "nginx/1.10")],),          # "meek3": 200 via foreign server
+        ([],),                             # empty requests
+    ]
+    meek, meek2, meek3, empty = _score(
+        spark, rows, RESP_SCHEMA, response_check_scorer(F.col("responses"))
+    )
+    assert meek["blocking"] == 1.0           # test_unit.py:489-500
+    assert meek2["blocking"] == 0.0          # test_unit.py:502-513
+    assert meek3["blocking"] == 0.5          # test_unit.py:515-527
+    assert (empty["blocking"], empty["accuracy"]) == (1.0, 0.0)  # core.py:1162-1166
+
+
+def test_signal_status_and_version_gate_match_reference(spark):
+    schema = "status string, failure string, ver string, after_cutoff boolean"
+    rows = [
+        ("ok", None, "0.2.2", True),    # signal_022 fixture → blocking 0
+        ("blocked", None, "0.2.2", True),
+        ("ok", None, "0.2.0", True),    # old probe after backend change → unusable
+        ("ok", None, "0.2.0", False),   # old probe BEFORE the change → still scored
+        ("ok", "eof_error", "0.2.2", True),  # hard failure → unusable
+    ]
+    scorer = status_gate_scorer(
+        F.col("status"),
+        F.col("failure").isNotNull(),
+        version_col=F.col("ver"),
+        min_version="0.2.1",
+        cutoff_gate=F.col("after_cutoff"),
+    )
+    ok, blocked, gated, pre_cutoff, failed = _score(spark, rows, schema, scorer)
+    assert (ok["blocking"], ok["accuracy"]) == (0.0, 1.0)        # test_unit.py:548-559
+    assert (blocked["blocking"], blocked["accuracy"]) == (1.0, 1.0)
+    assert gated["accuracy"] == 0.0                              # core.py:1358-1366 gate
+    assert (pre_cutoff["blocking"], pre_cutoff["accuracy"]) == (0.0, 1.0)
+    assert failed["accuracy"] == 0.0
