@@ -243,3 +243,55 @@ def simhash_near_dup_pairs(
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    dup-pair graph, labelling every doc with the MIN id of its component
+    (singletons label themselves) — the step that turns near-dup PAIRS
+    into "keep one per cluster" decisions.
+
+    Min-label propagation: each iteration joins labels to the symmetrized
+    edge list, takes the per-node neighborhood min, and localCheckpoints
+    (truncating lineage so the loop's plan doesn't grow). The driver-side
+    convergence check is one narrow count per iteration on an
+    O(nodes)-row relation; iterations needed = graph diameter, and LSH
+    candidate clusters are near-cliques (diameter ~2-3), so the loop is
+    shallow. For adversarial long-chain graphs at 100 TB, swap the body
+    for the alternating small-star/large-star rounds of the MapReduce CC
+    literature (O(log n) rounds) — the interface stays the same.
+    Raises if ``max_iter`` passes without convergence (never silently
+    returns a half-propagated labelling).
+    """
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
+            .select(
+                F.col("v"),
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "v")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("v").alias(id_col), F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

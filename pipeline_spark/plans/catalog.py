@@ -638,6 +638,52 @@ def minhash_pairs_md5(spark, sf):
 
 
 @q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, unnest(w) AS s FROM docs),
+    sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM sh GROUP BY doc_id),
+    bk AS ({_MH_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6),
+    n AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(v, u) AS (
+      SELECT doc_id, doc_id FROM n
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a)
+    SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS component
+    FROM reach GROUP BY v
+    """,
+)
+def dedup_components_q(spark, sf):
+    """Duplicate-cluster canonicalization end-to-end under a full value
+    oracle: md5-basis MinHash+LSH verified pairs (the oracled pair
+    generator) → :func:`operators.dedup.connected_components` min-label
+    propagation; the oracle independently recomputes the pair graph in
+    SQL and resolves components with a recursive CTE (min reachable id).
+    Docs with no qualifying pair label themselves (singletons)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = D.minhash_dedup_pairs(
+        d, threshold=0.6, bands=_MH_BANDS, rows=_MH_ROWS, n=1, hash_basis="md5"
+    ).select("id_a", "id_b")
+    comps = D.connected_components(pairs, d.select("doc_id"))
+    return comps.select("doc_id", F.col("component").cast("long").alias("component"))
+
+
+@q(
     "simhash_near_dups",
     """
     WITH t AS (
@@ -1262,6 +1308,7 @@ _DEFERRED = [
     "lang_id_heuristic",          # text family: text_quality, doc_fingerprint
     "embedding_near_dup",         # similarity family: embedding_topk_bruteforce
     "canonical_name_map",         # P13: unit-tested (test_functions.py::test_canonicalize_*)
+    "doc_fingerprint",            # text family: text_quality in-window; rolling-hash pytest
 ]
 
 

@@ -264,3 +264,12 @@ def test_lww_salted_equals_unsalted(spark):
     a = {r["key"]: (r["v"], r["off"]) for r in lww_latest(df, "key", ["v", "off"]).collect()}
     b = {r["key"]: (r["v"], r["off"]) for r in lww_latest(df, "key", ["v", "off"], salt_buckets=8).collect()}
     assert a == b
+
+
+def test_connected_components_hand_graph(spark):
+    """Label propagation on a known graph: chains collapse to the min id,
+    singletons label themselves."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id bigint")
+    got = {r["doc_id"]: r["component"] for r in D.connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
