@@ -684,6 +684,76 @@ def dedup_components_q(spark, sf):
 
 
 @q(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, unnest(w) AS s FROM docs),
+    sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM sh GROUP BY doc_id),
+    bk AS ({_MH_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6),
+    n AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(v, u) AS (
+      SELECT doc_id, doc_id FROM n
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a),
+    comp AS (SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS component FROM reach GROUP BY v),
+    tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(coalesce(text, ''), '{X.TOKEN_RE}')) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 100)
+    SELECT component,
+           doc_id AS survivor,
+           n_tokens AS survivor_tokens,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+    FROM comp JOIN tok USING (doc_id)
+    QUALIFY row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, doc_id ASC) = 1
+    """,
+)
+def dedup_survivors_q(spark, sf):
+    """The dedup pipeline end-to-end: verified near-dup pairs → clusters
+    → ONE canonical survivor per cluster, chosen by token count (ties →
+    smallest id) — the "keep best copy" decision a training-data dedup
+    actually ships. Oracle replays the entire chain in SQL (recursive-CTE
+    components + window-function survivor election)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = D.minhash_dedup_pairs(
+        d, threshold=0.6, bands=_MH_BANDS, rows=_MH_ROWS, n=1, hash_basis="md5"
+    ).select("id_a", "id_b")
+    comps = D.connected_components(pairs, d.select("doc_id"))
+    tok = d.select(
+        "doc_id", F.coalesce(X.token_count(F.col("text")), F.lit(0)).cast("long").alias("n_tokens")
+    )
+    scored = comps.join(tok, "doc_id")
+    w_rank = Window.partitionBy("component").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    w_cnt = Window.partitionBy("component")
+    return (
+        scored.withColumn("n_members", F.count(F.lit(1)).over(w_cnt).cast("long"))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").alias("survivor"),
+            F.col("n_tokens").alias("survivor_tokens"),
+            "n_members",
+        )
+    )
+
+
+@q(
     "simhash_near_dups",
     """
     WITH t AS (
@@ -1309,6 +1379,7 @@ _DEFERRED = [
     "embedding_near_dup",         # similarity family: embedding_topk_bruteforce
     "canonical_name_map",         # P13: unit-tested (test_functions.py::test_canonicalize_*)
     "doc_fingerprint",            # text family: text_quality in-window; rolling-hash pytest
+    "dedup_survivors",            # dedup family: dedup_components in-window end-to-end
 ]
 
 
