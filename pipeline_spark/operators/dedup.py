@@ -256,17 +256,17 @@ def connected_components(
     (singletons label themselves) — the step that turns near-dup PAIRS
     into "keep one per cluster" decisions.
 
-    Min-label propagation: each iteration joins labels to the symmetrized
-    edge list, takes the per-node neighborhood min, and localCheckpoints
-    (truncating lineage so the loop's plan doesn't grow). The driver-side
-    convergence check is one narrow count per iteration on an
-    O(nodes)-row relation; iterations needed = graph diameter, and LSH
-    candidate clusters are near-cliques (diameter ~2-3), so the loop is
-    shallow. For adversarial long-chain graphs at 100 TB, swap the body
-    for the alternating small-star/large-star rounds of the MapReduce CC
-    literature (O(log n) rounds) — the interface stays the same.
-    Raises if ``max_iter`` passes without convergence (never silently
-    returns a half-propagated labelling).
+    Min-label propagation WITH pointer jumping: each round (1) takes the
+    per-node neighborhood min over the symmetrized edge list, then (2)
+    shortcuts every label through its own label (``comp(v) ←
+    min(comp(v), comp(comp(v)))`` — label doubling), so label distance
+    halves per round and convergence is O(log diameter), not
+    O(diameter): a 60-node chain converges in ~7 rounds where plain
+    propagation needs 59. Each round localCheckpoints (truncating
+    lineage so the loop's plan doesn't grow) and runs one narrow
+    driver-side convergence count on an O(nodes)-row relation. Raises
+    if ``max_iter`` passes without convergence (never silently returns
+    a half-propagated labelling).
     """
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -278,11 +278,17 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(nbr_min, labels["v"] == nbr_min["src"], "left").select(
+            F.col("v"),
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: comp is itself a node id, so look its label up
+        ptr = stepped.select(F.col("v").alias("pv"), F.col("comp").alias("pcomp"))
         new = (
-            labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
+            stepped.join(ptr, stepped["comp"] == ptr["pv"], "left")
             .select(
-                F.col("v"),
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                stepped["v"],
+                F.least(stepped["comp"], F.coalesce(ptr["pcomp"], stepped["comp"])).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )

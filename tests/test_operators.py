@@ -273,3 +273,13 @@ def test_connected_components_hand_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id bigint")
     got = {r["doc_id"]: r["component"] for r in D.connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping makes convergence O(log diameter): a 60-node path
+    graph (diameter 59) must converge well inside max_iter=25, where
+    plain one-hop min propagation would need 59 rounds."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 60)], "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 61)], "doc_id bigint")
+    got = {r["doc_id"]: r["component"] for r in D.connected_components(edges, nodes).collect()}
+    assert got == {i: 1 for i in range(1, 61)}
