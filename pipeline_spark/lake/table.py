@@ -786,6 +786,14 @@ class LakeTable:
         props = {f"fence.{fence[0]}": str(fence[1])} if fence else None
         rows_written = sum(f["rows"] for f in new_files)
         lin = self._lineage_dict(stats, rows_written, len(touched), extra_lineage)
+        # per-PARTITION lineage (north-rule contract): rows written per
+        # key-bucket this commit — already known from the file manifest,
+        # so recording it costs no extra job. Bounded by n_buckets.
+        bucket_rows: dict[str, int] = {}
+        for f in new_files:
+            b = str(f["bucket"])
+            bucket_rows[b] = bucket_rows.get(b, 0) + f["rows"]
+        lin["bucket_rows"] = bucket_rows
         try:
             self._commit_files(meta, new_files, set(), properties=props, lineage=lin)
         except CommitConflict:

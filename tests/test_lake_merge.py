@@ -132,6 +132,9 @@ def test_lineage_records(spark, tmp_path, spec):
     assert r["start_offset"] == 0
     assert r["rows_discarded"] > 0  # generator injects invalid rows
     assert r["rows_written"] >= 1
+    # per-partition (key-bucket) lineage: the breakdown sums to the total
+    assert sum(r["bucket_rows"].values()) == r["rows_written"]
+    assert len(r["bucket_rows"]) == r["buckets_touched"]
 
 
 def test_schema_evolution_add_rename_widen(spark, tmp_path):
