@@ -79,6 +79,11 @@ class CommitConflict(Exception):
     pass
 
 
+class TableCorruption(Exception):
+    """Raised by :meth:`LakeTable.verify_integrity` when the current
+    snapshot's manifest disagrees with the filesystem or parquet footers."""
+
+
 def _field(fid: int, name: str, typ: str) -> dict:
     return {"id": fid, "name": name, "type": typ}
 
@@ -898,6 +903,56 @@ class LakeTable:
             if not sub[1] and not sub[2] and sub[0] != data_root:
                 os.rmdir(sub[0])
         return {"orphans_removed": removed}
+
+    def verify_integrity(self, check_footers: bool = True) -> dict:
+        """Table fsck: the current snapshot's manifest must agree with the
+        filesystem and the parquet footers.
+
+        Checks, per referenced file: (1) it exists on disk, (2) its footer
+        row count equals the manifest's ``rows`` (a mismatch means the
+        manifest lies to the planner — scans and stats-pruning decisions
+        become untrustworthy). Also reports unreferenced data files
+        (candidates for :meth:`remove_orphan_files`, informational —
+        in-flight writers legitimately create them). Metadata-only reads
+        plus one footer open per file (no Spark job); run it like
+        Iceberg's metadata audits, after restores/crashes or before
+        destructive maintenance. Returns a report dict; raises
+        ``TableCorruption`` listing every violation if any hard check
+        fails.
+        """
+        import pyarrow.parquet as _pq
+
+        meta = self.meta()
+        missing: list[str] = []
+        row_mismatch: list[str] = []
+        for f in meta["files"]:
+            full = os.path.join(self.path, f["path"])
+            if not os.path.exists(full):
+                missing.append(f["path"])
+                continue
+            if check_footers:
+                n = _pq.ParquetFile(full).metadata.num_rows
+                if n != f["rows"]:
+                    row_mismatch.append(f"{f['path']}: footer={n} manifest={f['rows']}")
+        referenced = {os.path.normpath(f["path"]) for f in meta["files"]}
+        unreferenced = 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for dirpath, _, names in os.walk(data_root):
+            for fn in names:
+                if fn.endswith(".parquet"):
+                    rel = os.path.normpath(os.path.relpath(os.path.join(dirpath, fn), self.path))
+                    if rel not in referenced:
+                        unreferenced += 1
+        report = {
+            "version": meta["version"],
+            "files_checked": len(meta["files"]),
+            "missing_files": missing,
+            "row_count_mismatches": row_mismatch,
+            "unreferenced_files": unreferenced,
+        }
+        if missing or row_mismatch:
+            raise TableCorruption(str(report))
+        return report
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Delete metadata of all but the newest ``keep_last`` snapshots and
