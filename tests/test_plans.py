@@ -205,3 +205,14 @@ def test_lsh_tables_single_corpus_scan(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") < 10)
     plan2 = _plan(S.lsh_ann_topk(emb, qs, k=5, n_planes=4, n_tables=4, dim=64))
     assert plan2.count("embeddings.parquet") <= 2, plan2.count("embeddings.parquet")
+
+
+def test_minhash_pair_generation_equi_join_only(spark, sf_dir):
+    """MinHash-LSH candidate generation must join on (band, band-sig) —
+    an equi-join Catalyst can hash/sort-merge — never a nested loop."""
+    from pipeline_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
+    plan = _plan(D.minhash_dedup_pairs(d, threshold=0.6, bands=8, rows=4, n=1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

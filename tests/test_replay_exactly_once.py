@@ -176,3 +176,17 @@ def test_uncapped_replay_size_gates_winner_broadcast(spark, tmp_path):
         schema_ddl="id bigint, version bigint", max_files_per_trigger=100,
     )
     assert captured and all(bw is True for bw in captured)
+
+
+def test_eager_extraction_replay_matches_oracle(spark, tmp_path, stream_dir, expected):
+    """extract="eager" (per-event extraction before the merge — the
+    transform-dominant bench profile) must land the SAME final state as
+    the default winners-only path: extraction is row-invariant, so WHERE
+    it runs cannot change LWW outcomes or extracted bytes."""
+    t = make_table(spark, tmp_path, "eager")
+    c = replay_stream(
+        spark, stream_dir, t, checkpoint=str(tmp_path / "ck_eager"),
+        max_files_per_trigger=2, extract="eager",
+    )
+    assert c["batches"] == SPEC.n_epochs // 2
+    assert_state_equal(as_pandas_state(t), expected)
