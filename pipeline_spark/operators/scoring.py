@@ -397,3 +397,27 @@ def scores_to_json(scores_col: Column) -> Column:
     """Serialize the scores struct to a JSON string (P20 analog — the
     reference stores scores as a JSON TEXT column, core.py:386-392)."""
     return F.to_json(scores_col)
+
+
+def simple_failure_scorer(failure_col: Column) -> Column:
+    """Failure-flag scorer (the stun_reachability / torsf shape,
+    core.py:1381-1413): a non-empty failure string → blocking 1,
+    otherwise reachable; always scored (accuracy 1)."""
+    failed = F.coalesce(failure_col, F.lit("")) != ""
+    blocking = F.when(failed, F.lit(1.0)).otherwise(F.lit(0.0))
+    msg = F.when(failed, failure_col).otherwise(F.lit("ok"))
+    return make_scores(blocking, F.lit(1.0), msg)
+
+
+def tristate_success_scorer(success_col: Column) -> Column:
+    """Tri-state success scorer (the openvpn shape, core.py:1438-1449):
+    success False → blocking 1; success NULL → unscorable (accuracy 0);
+    success True → reachable."""
+    blocking = F.when(success_col.eqNullSafe(F.lit(False)), F.lit(1.0)).otherwise(F.lit(0.0))
+    accuracy = F.when(success_col.isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
+    msg = (
+        F.when(success_col.isNull(), F.lit("no result"))
+        .when(success_col, F.lit("ok"))
+        .otherwise(F.lit("failed"))
+    )
+    return make_scores(blocking, accuracy, msg)

@@ -1380,6 +1380,9 @@ _DEFERRED = [
     "canonical_name_map",         # P13: unit-tested (test_functions.py::test_canonicalize_*)
     "doc_fingerprint",            # text family: text_quality in-window; rolling-hash pytest
     "dedup_survivors",            # dedup family: dedup_components in-window end-to-end
+    "score_stun_torsf_failure",   # C8 concrete; 14 scorer rows already in-window
+    "score_riseupvpn_flags",      # C8 concrete; ditto
+    "score_openvpn_success",      # C8 concrete; ditto
 ]
 
 
@@ -2025,3 +2028,80 @@ def score_whatsapp_gate_q(spark, sf):
         base, version.isin("2.1.0", "2.2.0", "2.3.0") & web_blocked
     )
     return e.select("event_id", F.round(gated["blocking"], 6).alias("blocking"))
+
+
+@q(
+    "score_stun_torsf_failure",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k FROM events WHERE event_type = 'error')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 4 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           round(CAST(1.0 AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_stun_torsf_q(spark, sf):
+    """C8 concrete: the stun_reachability / torsf failure-flag shape
+    (core.py:1381-1413) — a non-empty failure string means blocked,
+    always scored."""
+    from pipeline_spark.operators.scoring import simple_failure_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "error").withColumn("_k", _k_col())
+    k = F.col("_k")
+    failure = F.when(k % 4 == 0, F.lit("stun_timeout")).otherwise(F.lit(None).cast("string"))
+    s = simple_failure_scorer(failure)
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
+
+
+@q(
+    "score_riseupvpn_flags",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k FROM events WHERE event_type = 'click')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 5 = 0 OR k % 7 = 0 OR k % 11 = 0 OR k % 13 = 0
+                      THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS blocking
+    FROM t
+    """,
+)
+def score_riseupvpn_q(spark, sf):
+    """C8 concrete: the riseupvpn anomaly-flag shape (core.py:1415-1436)
+    — api blocked OR bad CA cert OR either transport blocked → blocking
+    1. Composed from :func:`flag_count_scorer` with weight 1 (any TRUE
+    anomaly flag saturates the cap)."""
+    from pipeline_spark.operators.scoring import flag_count_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "click").withColumn("_k", _k_col())
+    k = F.col("_k")
+    s = flag_count_scorer(
+        [],
+        [k % 5 == 0, k % 7 == 0, k % 11 == 0, k % 13 == 0],
+        weight=1.0,
+    )
+    return e.select("event_id", F.round(s["blocking"], 6).alias("blocking"))
+
+
+@q(
+    "score_openvpn_success",
+    f"""
+    WITH t AS (SELECT event_id, {_K} AS k FROM events WHERE event_type = 'purchase')
+    SELECT event_id,
+           round(CAST(CASE WHEN k % 5 <> 0 AND k % 2 <> 0 THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS blocking,
+           round(CAST(CASE WHEN k % 5 = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE), 6) AS accuracy
+    FROM t
+    """,
+)
+def score_openvpn_q(spark, sf):
+    """C8 concrete: the openvpn tri-state success shape
+    (core.py:1438-1449) — success False → blocking 1, success missing →
+    unscorable, success True → reachable."""
+    from pipeline_spark.operators.scoring import tristate_success_scorer
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase").withColumn("_k", _k_col())
+    k = F.col("_k")
+    success = F.when(k % 5 == 0, F.lit(None).cast("boolean")).otherwise(k % 2 == 0)
+    s = tristate_success_scorer(success)
+    return e.select(
+        "event_id", F.round(s["blocking"], 6).alias("blocking"), F.round(s["accuracy"], 6).alias("accuracy")
+    )
