@@ -303,14 +303,18 @@ def main() -> None:
                     results[k] = min(old)
                 old_ex = prev.get("extract_attempts_sec", {}).get(str(k), [])
                 extract_attempts[k].extend(old_ex)
-        mem_control: dict[int, float] = {}
+        # per-repeat mem controls: the ratio must pair measurements from
+        # ONE repeat's window (max-of-each-level across repeats would
+        # reintroduce exactly the cross-window fragility the same-repeat
+        # estimator exists to avoid)
+        mem_control_reps: dict[int, list[float]] = {k: [] for k in levels}
         for r in range(repeats):
             for k in levels:
                 t = replay_at(k)
                 attempts[k].append(round(t, 3))
                 results[k] = min(results.get(k, 1e18), t)
                 control[k] = max(control.get(k, 0.0), _cpu_spin_control(k))
-                mem_control[k] = max(mem_control.get(k, 0.0), _mem_regex_control(k))
+                mem_control_reps[k].append(_mem_regex_control(k))
                 if r == 0:
                     p = subprocess.run(
                         [sys.executable, os.path.abspath(__file__), "--extract-stage-only", "--cpus", str(k)],
@@ -346,10 +350,16 @@ def main() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "host_cpu_control_efficiency": round(ctrl_eff, 3),
             }
-            if mem_control.get(lo) and mem_control.get(hi):
-                entry["host_mem_control_efficiency"] = round(
-                    (mem_control[hi] / mem_control[lo]) / (hi / lo), 3
-                )
+            mem_pairs = [
+                round((m_hi / m_lo) / (hi / lo), 3)
+                for m_lo, m_hi in zip(mem_control_reps.get(lo, []), mem_control_reps.get(hi, []))
+                if m_lo > 0
+            ]
+            if mem_pairs:
+                # window-consistent: each ratio pairs one repeat's own
+                # measurements; max mirrors the primary estimator's choice
+                entry["mem_control_pair_efficiencies"] = mem_pairs
+                entry["host_mem_control_efficiency"] = max(mem_pairs)
             if extract_stage.get(lo) and extract_stage.get(hi):
                 entry["extract_stage_seconds_low"] = extract_stage[lo]
                 entry["extract_stage_seconds_high"] = extract_stage[hi]
@@ -375,10 +385,22 @@ def main() -> None:
             scaling["pairs"].append(entry)
         with open(cache_path, "w") as f:
             json.dump(scaling, f)
-        # checked-in per-profile disclosure snapshot
-        disclosure = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH", f"scaling_{n_events}ev.json"
+        # checked-in per-profile disclosure snapshot. The short
+        # scaling_<events>ev.json name is reserved for profiles matching
+        # the headline's sf/codec/micro-batch (so 1M and 2M keep their
+        # historical names); any other profile gets a fully-qualified
+        # name and can never clobber the gate evidence.
+        short_ok = (
+            sf == HEADLINE_PROFILE["sf"]
+            and codec == HEADLINE_PROFILE["codec"]
+            and max_files == HEADLINE_PROFILE["max_files"]
         )
+        snap_name = (
+            f"scaling_{n_events}ev.json"
+            if short_ok
+            else f"scaling_{sf}_{n_events}ev_{codec}_mf{max_files}.json"
+        )
+        disclosure = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", snap_name)
         os.makedirs(os.path.dirname(disclosure), exist_ok=True)
         with open(disclosure, "w") as f:
             json.dump(scaling, f)

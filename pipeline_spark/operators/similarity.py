@@ -279,6 +279,11 @@ def ivf_fit_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r["e"]] for r in sample]
+    if not centroids:
+        raise ValueError("ivf_fit_centroids: corpus (after sampling) is empty")
+    # a corpus smaller than n_centroids can only seed len(corpus) cells —
+    # clamp instead of indexing past the init sample on the update step
+    n_centroids = len(centroids)
     for _ in range(iters):
         assigned = corpus.select(
             ivf_assign(F.col(emb_col), centroids).alias("c"), F.posexplode(F.col(emb_col))

@@ -602,11 +602,12 @@ _MH_BAND_SQL = " UNION ALL ".join(
     for b in range(_MH_BANDS)
 )
 
-
-@q(
-    "minhash_lsh_pairs_md5_oracle",
-    f"""
-    WITH docs AS (
+#: shared MinHash+LSH pair-graph CTE chain (docs -> ... -> p, the
+#: jaccard-verified pair set). Every oracle consuming the pair graph
+#: (md5 pairs, dedup_components, dedup_survivors) references this ONE
+#: definition, so the threshold / doc window / banding parameters
+#: cannot silently drift between them.
+_MH_PAIRS_CTES = f"""docs AS (
       SELECT doc_id, {_WORDS_SQL} AS w
       FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
     sh AS (SELECT DISTINCT doc_id, unnest(w) AS s FROM docs),
@@ -619,7 +620,17 @@ _MH_BAND_SQL = " UNION ALL ".join(
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS inter
       FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
-      GROUP BY 1, 2)
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6)"""
+
+
+@q(
+    "minhash_lsh_pairs_md5_oracle",
+    f"""
+    WITH {_MH_PAIRS_CTES}
     SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
     FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
@@ -640,24 +651,7 @@ def minhash_pairs_md5(spark, sf):
 @q(
     "dedup_components",
     f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id, {_WORDS_SQL} AS w
-      FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
-    sh AS (SELECT DISTINCT doc_id, unnest(w) AS s FROM docs),
-    sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM sh GROUP BY doc_id),
-    bk AS ({_MH_BAND_SQL}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS inter
-      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
-      GROUP BY 1, 2),
-    p AS (
-      SELECT id_a, id_b FROM inter
-      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6),
+    WITH RECURSIVE {_MH_PAIRS_CTES},
     n AS (SELECT doc_id FROM documents WHERE doc_id < 100),
     e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
     reach(v, u) AS (
@@ -686,24 +680,7 @@ def dedup_components_q(spark, sf):
 @q(
     "dedup_survivors",
     f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id, {_WORDS_SQL} AS w
-      FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
-    sh AS (SELECT DISTINCT doc_id, unnest(w) AS s FROM docs),
-    sig AS (SELECT doc_id, {_MH_SIG_SQL} FROM sh GROUP BY doc_id),
-    bk AS ({_MH_BAND_SQL}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS inter
-      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
-      GROUP BY 1, 2),
-    p AS (
-      SELECT id_a, id_b FROM inter
-      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6),
+    WITH RECURSIVE {_MH_PAIRS_CTES},
     n AS (SELECT doc_id FROM documents WHERE doc_id < 100),
     e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
     reach(v, u) AS (

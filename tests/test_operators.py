@@ -136,6 +136,11 @@ def test_ivf_ann_recall_and_determinism(spark, sf_dir):
     cents = S.ivf_fit_centroids(emb, n_centroids=8, iters=2)
     assert cents == S.ivf_fit_centroids(emb, n_centroids=8, iters=2)  # deterministic
     assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # a corpus smaller than n_centroids clamps k instead of crashing on
+    # the centroid-update indexing (review finding r4)
+    tiny = emb.filter(F.col("vec_id") < 5)
+    small = S.ivf_fit_centroids(tiny, n_centroids=16, iters=1)
+    assert len(small) == 5
     # value-keyed sampling selects the same rows under any partitioning
     # (means may differ in last ulps from float summation order)
     import numpy as np
