@@ -325,8 +325,13 @@ def zip_compare_scorer(sent_col: Column, received_col: Column) -> Column:
     """Positional sent-vs-received compare (C4, the http_invalid_request_line
     scorer — core.py:732-763): both lists empty → unusable (accuracy 0);
     any positional mismatch within the zipped prefix (zip truncates to the
-    shorter list, so trailing extras are ignored) → blocking 1."""
-    n = F.least(F.size(sent_col), F.size(received_col))
+    shorter list, so trailing extras are ignored) → blocking 1. A NULL
+    list is treated like an empty one (the reference coalesces missing
+    keys to []) — size(NULL) is -1/NULL depending on ANSI mode, so sizes
+    are normalized and the slice length clamped to ≥0 before use."""
+    ns = F.coalesce(F.size(sent_col), F.lit(-1))
+    nr = F.coalesce(F.size(received_col), F.lit(-1))
+    n = F.greatest(F.least(ns, nr), F.lit(0))
     pairs_differ = F.exists(
         F.zip_with(
             F.slice(sent_col, F.lit(1), n),
@@ -335,7 +340,7 @@ def zip_compare_scorer(sent_col: Column, received_col: Column) -> Column:
         ),
         lambda x: x,
     )
-    empty = (F.size(sent_col) == 0) & (F.size(received_col) == 0)
+    empty = (ns <= 0) & (nr <= 0)
     blocking = F.when(~empty & pairs_differ, F.lit(1.0)).otherwise(F.lit(0.0))
     accuracy = F.when(empty, F.lit(0.0)).otherwise(F.lit(1.0))
     msg = (

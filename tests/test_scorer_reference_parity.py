@@ -63,3 +63,30 @@ def test_signal_status_and_version_gate_match_reference(spark):
     assert gated["accuracy"] == 0.0                              # core.py:1358-1366 gate
     assert (pre_cutoff["blocking"], pre_cutoff["accuracy"]) == (0.0, 1.0)
     assert failed["accuracy"] == 0.0
+
+
+def test_zip_compare_null_lists_behave_like_empty(spark):
+    """A NULL sent/received list must act like the reference's missing
+    key (coalesced to []): both effectively empty → unusable; one NULL
+    side with data on the other → no mismatch within the empty zipped
+    prefix, scored reachable — never NULL scores, never a negative
+    slice length."""
+    from pipeline_spark.operators.scoring import zip_compare_scorer
+
+    schema = "sent array<string>, received array<string>"
+    rows = [
+        (None, None),
+        (None, ["GET /"]),
+        (["GET /"], ["GET /"]),
+        (["GET /"], ["MANGLED"]),
+        ([], []),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    s = [r["s"] for r in df.select(
+        zip_compare_scorer(F.col("sent"), F.col("received")).alias("s")).collect()]
+    both_null, one_null, match, differ, both_empty = s
+    assert (both_null["blocking"], both_null["accuracy"]) == (0.0, 0.0)
+    assert both_null == both_empty
+    assert (one_null["blocking"], one_null["accuracy"]) == (0.0, 1.0)
+    assert (match["blocking"], match["accuracy"]) == (0.0, 1.0)
+    assert (differ["blocking"], differ["accuracy"]) == (1.0, 1.0)
