@@ -106,7 +106,17 @@ def set_compare_scorer(expected: list[str], got_col: Column) -> Column:
     ).otherwise(
         F.concat(F.lit("missing="), n_missing.cast("int").cast("string"), F.lit(" extra="), n_extra.cast("int").cast("string"))
     )
-    return make_scores(blocking, F.lit(1.0), msg)
+    # a NULL observed set (missing test_keys — the reference's
+    # header-manipulation "requests: null" fixture, test_unit.py:248-253)
+    # is an unusable measurement, NOT a comparable one: without this
+    # guard size(NULL) propagates NULL (ANSI) or -1 (legacy) into the
+    # ratio, yielding NULL or negative blocking
+    null_in = got_col.isNull()
+    return make_scores(
+        F.when(null_in, F.lit(0.0)).otherwise(blocking),
+        F.when(null_in, F.lit(0.0)).otherwise(F.lit(1.0)),
+        F.when(null_in, F.lit("missing")).otherwise(msg),
+    )
 
 
 def failure_case_table_scorer(

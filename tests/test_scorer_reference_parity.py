@@ -90,3 +90,16 @@ def test_zip_compare_null_lists_behave_like_empty(spark):
     assert (one_null["blocking"], one_null["accuracy"]) == (0.0, 1.0)
     assert (match["blocking"], match["accuracy"]) == (0.0, 1.0)
     assert (differ["blocking"], differ["accuracy"]) == (1.0, 1.0)
+
+
+def test_header_set_compare_null_requests_unusable(spark):
+    """http_header_field_manipulation with requests:null / absent keys →
+    scores_failed (reference test_unit.py:248-269): a NULL observed set
+    must be unusable (accuracy 0), never NULL or negative blocking."""
+    from pipeline_spark.operators.scoring import set_compare_scorer
+
+    df = spark.createDataFrame([(None,), (["a", "b"],)], "got array<string>")
+    nulls, ok = [r["s"] for r in df.select(
+        set_compare_scorer(["a", "b"], F.col("got")).alias("s")).collect()]
+    assert (nulls["blocking"], nulls["accuracy"], nulls["msg"]) == (0.0, 0.0, "missing")
+    assert (ok["blocking"], ok["accuracy"], ok["msg"]) == (0.0, 1.0, "match")
