@@ -103,3 +103,34 @@ def test_header_set_compare_null_requests_unusable(spark):
         set_compare_scorer(["a", "b"], F.col("got")).alias("s")).collect()]
     assert (nulls["blocking"], nulls["accuracy"], nulls["msg"]) == (0.0, 0.0, "missing")
     assert (ok["blocking"], ok["accuracy"], ok["msg"]) == (0.0, 1.0, "match")
+
+
+def test_tor_and_riseupvpn_match_reference_expectations(spark):
+    """tor fixture (test_unit.py:443-454): 3 targets, zero failures →
+    blocking 0, scored. riseupvpn fixture (test_unit.py:473-486):
+    api_status blocked + ca_cert_status false → blocking 1."""
+    from pipeline_spark.operators.scoring import flag_count_scorer, tally_ratio_scorer
+
+    df = spark.createDataFrame([([None, None, None],)], "failures array<string>")
+    tor = df.select(
+        tally_ratio_scorer(F.col("failures"), lambda f: f.isNotNull()).alias("s")
+    ).collect()[0]["s"]
+    assert (tor["blocking"], tor["accuracy"]) == (0.0, 1.0)
+
+    r = spark.createDataFrame(
+        [("blocked", False, None, None)],
+        "api_status string, ca_cert_status boolean, obfs4 string, openvpn string",
+    )
+    rise = r.select(
+        flag_count_scorer(
+            [],
+            [
+                F.col("api_status") == "blocked",
+                F.col("ca_cert_status").eqNullSafe(F.lit(False)),
+                F.col("obfs4") == "blocked",
+                F.col("openvpn") == "blocked",
+            ],
+            weight=1.0,
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert rise["blocking"] == 1.0
