@@ -431,8 +431,77 @@ def main() -> None:
         "events_per_sec": round(n_events / replay_secs, 1),
     }
     if os.path.exists(SCALING_CACHE):
-        out["scaling"] = json.load(open(SCALING_CACHE))
+        out["scaling"] = _scaling_summary(json.load(open(SCALING_CACHE)))
+    extra = _other_profile_summaries()
+    if extra:
+        out["scaling_other_profiles"] = extra
     print(json.dumps(out))
+
+
+def _scaling_summary(cache: dict) -> dict:
+    """Compact view of a scaling cache for the driver's one-line JSON.
+
+    Round 4's driver record (BENCH_r04.json) came back ``parsed: null``:
+    embedding the full cache — 17 attempts x 3 levels plus per-repeat
+    efficiency arrays — pushed the line's head past the driver's bounded
+    tail capture, so NO headline numbers were recorded. The driver line
+    only needs the verdict per pair; every raw attempt stays disclosed in
+    BENCH/scaling_<events>ev.json and BENCH/BASELINE.md.
+    """
+    pairs = []
+    for p in cache.get("pairs", []):
+        pairs.append(
+            {
+                "parallelism_low": p["parallelism_low"],
+                "parallelism_high": p["parallelism_high"],
+                "seconds_low": p["seconds_low"],
+                "seconds_high": p["seconds_high"],
+                "primary_efficiency": p.get("primary_efficiency"),
+                "best_of_mins_efficiency": p.get("scaling_efficiency"),
+                "host_cpu_control_efficiency": p.get("host_cpu_control_efficiency"),
+                "host_mem_control_efficiency": p.get("host_mem_control_efficiency"),
+                "extract_stage_efficiency": p.get("extract_stage_efficiency"),
+            }
+        )
+    return {
+        "events": cache.get("events"),
+        "sf": cache.get("sf"),
+        "codec": cache.get("codec"),
+        "max_files_per_trigger": cache.get("max_files_per_trigger"),
+        "attempts_per_level": {k: len(v) for k, v in cache.get("attempts_sec", {}).items()},
+        "pairs": pairs,
+        "raw_attempts": "BENCH/scaling_<events>ev.json + BENCH/BASELINE.md",
+    }
+
+
+def _other_profile_summaries() -> list:
+    """One tiny record per non-headline profile snapshot (e.g. the
+    2M-event amortization profile) so the driver line shows the whole
+    scaling story without any attempt arrays. Reads the checked-in
+    BENCH/ disclosure snapshots, not the local .bench attempt caches."""
+    import glob
+
+    bench_disclosure_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    headline_events = HEADLINE_PROFILE["events"]
+    out = []
+    for path in sorted(glob.glob(os.path.join(bench_disclosure_dir, "scaling_*.json"))):
+        try:
+            cache = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if cache.get("events") == headline_events and cache.get("sf") == HEADLINE_PROFILE["sf"]:
+            continue  # the headline cache is already in out["scaling"]
+        for p in cache.get("pairs", []):
+            out.append(
+                {
+                    "events": cache.get("events"),
+                    "sf": cache.get("sf"),
+                    "pair": f"{p['parallelism_low']}->{p['parallelism_high']}",
+                    "primary_efficiency": p.get("primary_efficiency"),
+                    "host_cpu_control_efficiency": p.get("host_cpu_control_efficiency"),
+                }
+            )
+    return out
 
 
 def _spin(secs: float) -> int:

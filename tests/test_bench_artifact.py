@@ -1,0 +1,96 @@
+"""The driver records bench.py's ONE-line JSON through a bounded tail
+capture (~2000 chars). Round 4 embedded the full scaling attempt cache in
+that line, pushed ``{"metric": ...`` out of the window, and the driver
+recorded ``parsed: null`` — a green round with no visible perf numbers.
+These tests pin the compact-summary contract so it can't regress.
+"""
+
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.abspath(bench.__file__))
+
+# generous: tail capture is ~2000 chars, and the non-scaling part of the
+# driver line (queries map etc.) measured ~500 bytes in round 4
+_SCALING_BUDGET = 1200
+
+
+def _fake_cache():
+    return {
+        "events": 1_000_000,
+        "sf": "sf0.1",
+        "codec": "zstd",
+        "max_files_per_trigger": 8,
+        "attempts_sec": {str(k): [1.0] * 40 for k in (2, 8, 32)},
+        "extract_attempts_sec": {str(k): [1.0] * 40 for k in (2, 8, 32)},
+        "pairs": [
+            {
+                "parallelism_low": lo,
+                "parallelism_high": hi,
+                "seconds_low": 100.0,
+                "seconds_high": 30.0,
+                "events_per_sec_low": 1.0,
+                "events_per_sec_high": 1.0,
+                "scaling_efficiency": 0.8,
+                "host_cpu_control_efficiency": 0.9,
+                "host_mem_control_efficiency": 0.85,
+                "extract_stage_seconds_low": 90.0,
+                "extract_stage_seconds_high": 25.0,
+                "extract_stage_efficiency": 0.9,
+                "repeat_pair_efficiencies": [0.5] * 40,
+                "best_repeat_pair_efficiency": 0.9,
+                "primary_efficiency": 0.9,
+            }
+            for lo, hi in ((2, 8), (8, 32))
+        ],
+    }
+
+
+def test_summary_is_bounded_regardless_of_attempt_count():
+    s = bench._scaling_summary(_fake_cache())
+    assert len(json.dumps(s)) < _SCALING_BUDGET
+    # the raw arrays must NOT leak into the driver line
+    assert "attempts_sec" not in s
+    for p in s["pairs"]:
+        assert "repeat_pair_efficiencies" not in p
+        assert "mem_control_pair_efficiencies" not in p
+
+
+def test_summary_keeps_the_verdict_fields():
+    s = bench._scaling_summary(_fake_cache())
+    assert s["attempts_per_level"] == {"2": 40, "8": 40, "32": 40}
+    p = s["pairs"][0]
+    assert p["primary_efficiency"] == 0.9
+    assert p["best_of_mins_efficiency"] == 0.8
+    assert p["host_cpu_control_efficiency"] == 0.9
+    assert p["host_mem_control_efficiency"] == 0.85
+
+
+def test_live_driver_line_fits_tail_capture():
+    """Build the driver line exactly as default mode does (from the real
+    on-disk caches) and assert it fits the driver's tail window."""
+    out = {
+        "metric": "cdc_merge_apply_replay",
+        "value": 6.03,
+        "unit": "sec",
+        "queries": {q: 9.999 for q in bench.HEADLINE_QUERIES},
+        "sf": "0.1",
+        "events": 1_000_000,
+        "events_per_sec": 165800.0,
+    }
+    if os.path.exists(bench.SCALING_CACHE):
+        out["scaling"] = bench._scaling_summary(json.load(open(bench.SCALING_CACHE)))
+    extra = bench._other_profile_summaries()
+    if extra:
+        out["scaling_other_profiles"] = extra
+    line = json.dumps(out)
+    assert len(line) < 1950, f"driver line {len(line)} bytes risks truncation"
+    json.loads(line)  # one valid JSON object
+
+
+def test_other_profiles_come_from_checked_in_snapshots():
+    for rec in bench._other_profile_summaries():
+        assert rec["events"] != bench.HEADLINE_PROFILE["events"] or rec["sf"] != bench.HEADLINE_PROFILE["sf"]
+        assert set(rec) == {"events", "sf", "pair", "primary_efficiency", "host_cpu_control_efficiency"}
