@@ -25,6 +25,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events_n(sf_dir: str) -> int:
+    """max(event_id)+1 for the events table. event_id is dense 0..n-1 in
+    the driver testdata, so this is the parquet footer row count — zero
+    Spark jobs, replacing the per-query ``agg(max).collect()`` driver hop
+    (round-5 cleanup: no .collect() in catalog query bodies)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "events.parquet")
+    files = [p] if os.path.isfile(p) else sorted(glob.glob(os.path.join(p, "*.parquet")))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+_WORK_DIRS: list[str] = []
+
+
+def _workdir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup: catalog queries return LAZY
+    DataFrames that still read from the work dir when the driver collects,
+    so the dir can't be removed inside the query body — register an atexit
+    sweep instead (round-5 ADVICE: the streaming queries leaked the most
+    data per invocation)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _WORK_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True) for p in _WORK_DIRS])
+    _WORK_DIRS.append(d)
+    return d
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
@@ -1073,14 +1108,13 @@ def incr_counters_q(spark, sf):
     breaks the hash. (Chunks split on event_id ranges so the (ts, epoch,
     offset) merge order equals the oracle's (ts, event_id) order.)"""
     import os
-    import tempfile
 
     from pipeline_spark.lake import LakeTable
     from pipeline_spark.plans.incremental import incremental_refresh
 
     e = _t(spark, sf, "events")
-    n = e.agg(F.max("event_id")).collect()[0][0] + 1
-    work = tempfile.mkdtemp(prefix="incr_counters_")
+    n = _events_n(sf)
+    work = _workdir("incr_counters_")
     t = LakeTable.create(
         spark,
         os.path.join(work, "state"),
@@ -1117,7 +1151,6 @@ def cdc_replay_q(spark, sf):
     """Flagship: generate a deterministic CDC stream sized to the SF, replay
     it through the lake-table MERGE path, return the final live state."""
     import os
-    import tempfile
 
     from pipeline_spark.datagen import StreamSpec, write_change_stream
     from pipeline_spark.lake import LakeTable
@@ -1125,7 +1158,7 @@ def cdc_replay_q(spark, sf):
 
     n = 20_000 if "0.1" not in sf.rstrip("/")[-5:] else 100_000
     spec = StreamSpec(n_events=n, n_urls=max(200, n // 40), n_epochs=4)
-    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    work = _workdir("cdc_replay_")
     stream = os.path.join(work, "stream")
     write_change_stream(stream, spec)
     t = LakeTable.create(
@@ -1158,7 +1191,6 @@ def lake_time_slice_q(spark, sf):
     scan returning exactly the SQL-filtered rows."""
     import datetime
     import os
-    import tempfile
 
     from pipeline_spark.lake import LakeTable
 
@@ -1171,7 +1203,7 @@ def lake_time_slice_q(spark, sf):
         F.lit(0).cast("long").alias("epoch"),
         F.col("event_id").alias("offset"),
     )
-    work = tempfile.mkdtemp(prefix="lake_slice_")
+    work = _workdir("lake_slice_")
     t = LakeTable.create(
         spark,
         os.path.join(work, "t"),
@@ -1210,14 +1242,13 @@ def cdc_stream_replay_q(spark, sf):
     so the engine's (ts, epoch, offset) order equals the oracle's
     (ts, event_id) order."""
     import os
-    import tempfile
 
     from pipeline_spark.lake import LakeTable
     from pipeline_spark.streaming import replay_stream
 
     e = _t(spark, sf, "events")
-    n = e.agg(F.max("event_id")).collect()[0][0] + 1
-    work = tempfile.mkdtemp(prefix="cdc_stream_replay_")
+    n = _events_n(sf)
+    work = _workdir("cdc_stream_replay_")
     stream = os.path.join(work, "stream")
     for c in range(3):
         lo, hi = c * n // 3, (c + 1) * n // 3
@@ -1289,13 +1320,12 @@ def lineage_log_q(spark, sf):
     record per commit), so driver-side materialization is O(commits),
     not O(data)."""
     import os
-    import tempfile
 
     from pipeline_spark.lake import LakeTable
 
     e = _t(spark, sf, "events")
-    n = e.agg(F.max("event_id")).collect()[0][0] + 1
-    work = tempfile.mkdtemp(prefix="lineage_log_")
+    n = _events_n(sf)
+    work = _workdir("lineage_log_")
     t = LakeTable.create(
         spark,
         os.path.join(work, "state"),
@@ -1369,11 +1399,17 @@ def _export_order() -> list[str]:
     queries, then the rows-only (no-oracle-by-design) queries last, each
     group in registration order. Keeps the driver's correctness window
     100% value-hash-checked instead of spending slots on rows-only checks."""
+    # a misspelled or rows-only _DEFERRED entry would silently change the
+    # driver's 50-query window composition — fail loudly instead
+    unknown = [n for n in _DEFERRED if n not in QUERIES]
+    assert not unknown, f"_DEFERRED names not in QUERIES: {unknown}"
+    unoracled = [n for n in _DEFERRED if QUERIES[n][1] is None]
+    assert not unoracled, f"_DEFERRED entries without an oracle: {unoracled}"
+    assert len(set(_DEFERRED)) == len(_DEFERRED), "_DEFERRED has duplicates"
     names = list(QUERIES)
     oracled = [n for n in names if QUERIES[n][1] is not None and n not in _DEFERRED]
-    deferred = [n for n in _DEFERRED if n in QUERIES]
     rows_only = [n for n in names if QUERIES[n][1] is None]
-    return oracled + deferred + rows_only
+    return oracled + list(_DEFERRED) + rows_only
 
 
 def _session_guard(fn):

@@ -303,8 +303,14 @@ def decompress_frame(data: bytes) -> bytes:
         return _decompress_frame_py(data)
     try:  # pragma: no cover - native module absent in this environment
         return _native.decompress(data)
-    except Exception:
-        return _decompress_frame_py(data)
+    except (RuntimeError, ValueError, MemoryError) as native_err:
+        # lz4.frame raises RuntimeError on corrupt input; narrower than
+        # bare Exception so programming errors surface, and chained so a
+        # double failure keeps the native diagnostic (round-5 ADVICE)
+        try:
+            return _decompress_frame_py(data)
+        except Exception as py_err:
+            raise py_err from native_err
 
 
 def is_lz4(data: bytes) -> bool:

@@ -28,6 +28,59 @@ from pyspark.sql import functions as F
 from pipeline_spark.datagen import SPARK_DDL
 from pipeline_spark.extraction import extract_text_udf
 from pipeline_spark.lake import LakeTable
+from pipeline_spark.operators.lww import AUTO_BROADCAST_MAX_WINNERS
+
+
+def _batch_source_files(checkpoint: str, batch_id: int) -> list | None:
+    """The micro-batch's input files, from the file-stream source's
+    checkpoint log (``<ckpt>/sources/0/<batchId>`` — one JSON line per
+    file; ``batch_df.inputFiles()`` is empty inside foreachBatch, the
+    micro-batch plan is not a file relation). None when the log is
+    unreadable (e.g. a DFS checkpoint path this process can't open)."""
+    import os
+
+    path = os.path.join(checkpoint, "sources", "0", str(batch_id))
+    try:
+        with open(path) as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return None
+    files = []
+    for ln in lines:
+        if not ln.startswith("{"):
+            continue  # version header ("v1")
+        try:
+            import json
+
+            files.append(json.loads(ln)["path"])
+        except (ValueError, KeyError):
+            return None
+    return files or None
+
+
+def _footer_row_count(files: list) -> int | None:
+    """Exact row count of a parquet file set from footer metadata only —
+    no Spark job, no data read. Returns None when any file's footer is
+    unreachable (non-local scheme, corrupt footer, not parquet), in which
+    case the caller must fall back to a size-gated strategy."""
+    import pyarrow.parquet as pq
+
+    if not files:
+        return None  # unknown is NOT zero: the caller must size-gate
+    total = 0
+    for f in files:
+        if f.startswith("file:"):  # both file:///p and file:/p forms
+            path = f[5:].lstrip("/")
+            path = "/" + path
+        elif "://" in f or f.startswith(("hdfs:", "s3:", "s3a:")):
+            return None  # remote scheme: footer fetch is not free here
+        else:
+            path = f
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
 
 
 def fill_text(df):
@@ -71,12 +124,15 @@ def replay_stream(
     into an incremental aggregate, publish gauges. Skipped batches don't
     fire it, so a consumer keyed on snapshot versions sees each commit
     exactly once.
-    When ``max_files_per_trigger`` is set, micro-batches are bounded, so
-    the winner keyset always fits a broadcast — ``merge`` runs with
-    ``broadcast_winners=True`` and skips the size-gate count job. With no
-    cap, ``trigger(availableNow)`` delivers the ENTIRE backlog as one
-    micro-batch, so the keyset is unbounded and merge falls back to
-    ``"auto"`` (size-gated), same as :func:`batch_replay`.
+    Broadcast strategy: ``maxFilesPerTrigger`` bounds FILES per
+    micro-batch, not rows, so a file-count cap alone cannot justify an
+    unconditional broadcast (one fat change file can carry a winner
+    keyset past driver memory). Each batch's ROW count is instead
+    estimated for free from the input files' parquet footers: under the
+    broadcast bound → ``broadcast_winners=True`` (skips merge's
+    size-gate count job, the per-batch serial-floor cost); unknown or
+    over the bound → ``"auto"`` (size-gated), same as
+    :func:`batch_replay`.
     """
     assert extract in ("winners", "eager", "none")
     reader = spark.readStream.schema(schema_ddl).option("recursiveFileLookup", "true")
@@ -95,16 +151,22 @@ def replay_stream(
     def apply_batch(batch_df, batch_id: int) -> None:
         if extract == "eager":
             batch_df = batch_df.withColumn("text", extract_text_udf(F.col("html")))
+        # Row-bound gate for the broadcast fast path (round-5 ADVICE):
+        # maxFilesPerTrigger bounds FILES, not rows — one fat change file
+        # can carry a winner keyset past driver memory. The source's
+        # checkpoint log names the batch's files; their parquet footers
+        # give the exact row count with zero Spark jobs. Only a
+        # proven-small batch skips merge's size-gate count job.
+        est_rows = _footer_row_count(_batch_source_files(checkpoint, batch_id))
         lin = table.merge(
             batch_df,
             fence=(stream_id, batch_id),
             extra_lineage={"batch_id": batch_id, "stream_id": stream_id},
             salt_buckets=salt_buckets,
             post_merge=fill_text if extract == "winners" else None,
-            # a maxFilesPerTrigger cap bounds the micro-batch → winner
-            # keyset fits a broadcast, skip "auto"'s count job; uncapped
-            # availableNow = whole backlog in one batch → size-gate it
-            broadcast_winners=True if max_files_per_trigger else "auto",
+            broadcast_winners=(
+                True if est_rows is not None and est_rows <= AUTO_BROADCAST_MAX_WINNERS else "auto"
+            ),
         )
         if lin is None:
             counters["batches_skipped"] += 1

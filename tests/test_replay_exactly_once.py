@@ -146,11 +146,14 @@ def test_fence_skipped_batches_never_compact(spark, tmp_path, stream_dir, expect
     assert t.current_version() == v1
 
 
-def test_uncapped_replay_size_gates_winner_broadcast(spark, tmp_path):
-    """ADVICE r3: with no maxFilesPerTrigger cap, availableNow delivers
-    the ENTIRE backlog as one micro-batch, so replay_stream must pass
-    broadcast_winners="auto" (size-gated) to merge — hardcoded True was
-    an OOM hazard on large backfills. A set cap keeps the fast True path."""
+def test_replay_row_bound_gates_winner_broadcast(spark, tmp_path, monkeypatch):
+    """ADVICE r3+r5: the broadcast fast path must be justified by a ROW
+    bound, not a file-count cap (maxFilesPerTrigger bounds files; one fat
+    file can blow the broadcast). The bound comes free from parquet
+    footers: proven-small batch → True (skips merge's count job); batch
+    over the bound, or footers unreadable (remote store) → "auto"."""
+    import pipeline_spark.streaming.replay as replay_mod
+
     src = tmp_path / "src"
     spark.range(0, 10).selectExpr("id", "id AS version").write.parquet(str(src))
 
@@ -164,18 +167,32 @@ def test_uncapped_replay_size_gates_winner_broadcast(spark, tmp_path):
         def compact(self):
             raise AssertionError("not expected")
 
+    # footer-proven small (10 rows, even uncapped/whole-backlog) → True
     replay_stream(
         spark, str(src), FakeTable(), str(tmp_path / "ck1"),
         schema_ddl="id bigint, version bigint",
     )
-    assert captured == ["auto"]
+    assert captured == [True]
 
+    # same files, bound forced below the batch's row count → "auto";
+    # a maxFilesPerTrigger cap must NOT restore the unconditional True
     captured.clear()
+    monkeypatch.setattr(replay_mod, "AUTO_BROADCAST_MAX_WINNERS", 5)
     replay_stream(
         spark, str(src), FakeTable(), str(tmp_path / "ck2"),
         schema_ddl="id bigint, version bigint", max_files_per_trigger=100,
     )
-    assert captured and all(bw is True for bw in captured)
+    assert captured and all(bw == "auto" for bw in captured)
+
+    # unreadable footers (e.g. remote object store) → "auto"
+    captured.clear()
+    monkeypatch.setattr(replay_mod, "AUTO_BROADCAST_MAX_WINNERS", 4_000_000)
+    monkeypatch.setattr(replay_mod, "_footer_row_count", lambda files: None)
+    replay_stream(
+        spark, str(src), FakeTable(), str(tmp_path / "ck3"),
+        schema_ddl="id bigint, version bigint",
+    )
+    assert captured == ["auto"]
 
 
 def test_eager_extraction_replay_matches_oracle(spark, tmp_path, stream_dir, expected):
