@@ -1366,6 +1366,54 @@ def lineage_log_q(spark, sf):
     ).orderBy("snapshot_id")
 
 
+@q(
+    "partition_layout_prune",
+    """
+    SELECT 'C' || CAST(user_id % 4 AS VARCHAR) AS cc,
+           event_type AS test,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    WHERE user_id % 4 = 1 AND event_type IN ('click', 'error')
+    GROUP BY 1, 2
+    """,
+)
+def partition_layout_prune_q(spark, sf):
+    """S2 as a real DIRECTORY layout, not just bucket/manifest pruning:
+    the events table is written once as ``cc=XX/test=YY/``-partitioned
+    parquet — the country/test-name S3 key layout the reference prunes
+    before download (s3feeder.py:174-220) — then read back with equality
+    filters on BOTH partition columns. Catalyst resolves those filters
+    against directory names at planning time (PartitionFilters in the
+    scan, gated in test_plans.py), so non-matching partitions are never
+    listed, opened, or scanned — the 100 TB behavior where a 2-country
+    query reads 2/250ths of the lake. The oracle recomputes the same
+    aggregate from the raw table with the partition keys re-derived
+    inline."""
+    import os
+
+    work = _workdir("part_layout_")
+    lake = os.path.join(work, "events_cc_test")
+    (
+        _t(spark, sf, "events")
+        .withColumn("cc", F.concat(F.lit("C"), (F.col("user_id") % 4).cast("string")))
+        .withColumnRenamed("event_type", "test")
+        .write.partitionBy("cc", "test")
+        .parquet(lake)
+    )
+    r = spark.read.parquet(lake)
+    return (
+        r.filter((F.col("cc") == "C1") & F.col("test").isin("click", "error"))
+        .groupBy("cc", "test")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
+
+
 # =====================================================================
 # public accessors
 # =====================================================================
@@ -1390,6 +1438,7 @@ _DEFERRED = [
     "score_stun_torsf_failure",   # C8 concrete; 14 scorer rows already in-window
     "score_riseupvpn_flags",      # C8 concrete; ditto
     "score_openvpn_success",      # C8 concrete; ditto
+    "q5_supplier_volume_by_nation",  # J1 star joins: q3_shipping_priority in-window; broadcast plan gate
 ]
 
 

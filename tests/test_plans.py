@@ -207,6 +207,25 @@ def test_lsh_tables_single_corpus_scan(spark, sf_dir):
     assert plan2.count("embeddings.parquet") <= 2, plan2.count("embeddings.parquet")
 
 
+def test_partition_layout_prune_uses_partition_filters(spark, sf_dir):
+    """S2 as a directory layout: filters on cc/test must land in the
+    scan's PartitionFilters (resolved against directory names at planning
+    time — non-matching partitions never listed or opened), NOT as
+    post-scan data filters or parquet PushedFilters."""
+    df = entry_mod.queries()["partition_layout_prune"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters")[1][:400]
+    assert "cc" in part_section and "C1" in part_section, part_section
+    assert "test" in part_section, part_section
+    # the partition columns are virtual — they must not appear as parquet
+    # row-group predicates or in the read schema
+    pushed = plan.split("PushedFilters")[1][:200] if "PushedFilters" in plan else ""
+    assert "cc" not in pushed, pushed
+    read_schema = plan.split("ReadSchema")[1][:300] if "ReadSchema" in plan else ""
+    assert "cc" not in read_schema and "test" not in read_schema, read_schema
+
+
 def test_minhash_pair_generation_equi_join_only(spark, sf_dir):
     """MinHash-LSH candidate generation must join on (band, band-sig) —
     an equi-join Catalyst can hash/sort-merge — never a nested loop."""
