@@ -90,6 +90,47 @@ def score(
     return df.withColumn(out_col, out)
 
 
+def score_fields(
+    df: DataFrame,
+    dispatch_col: str,
+    scorers: Mapping[str | tuple, Callable[[DataFrame], Column]],
+    fields: tuple = ("blocking", "accuracy"),
+    default: Column | None = None,
+    prefix: str = "scores_",
+) -> DataFrame:
+    """Field-pruned dispatcher: like :func:`score`, but emits one flat
+    column per requested scores field instead of the whole struct.
+
+    Why it exists (round-5 profiling): a consumer that reads 2 of the 3
+    struct fields more than once — e.g. the verdict lattice reading
+    blocking and accuracy — blocks Catalyst's projection collapse (the
+    struct is multi-referenced), so the UNUSED ``msg`` branches (string
+    concats) get evaluated per row and discarded. Building the per-field
+    CASE from ``branch[field]`` lets SimplifyExtractValueOps delete the
+    other fields' work at optimization time: the dispatch query's
+    optimized plan shrank ~5x and execution ~2x.
+
+    Scorer keys may be a single dispatch value or a TUPLE of values
+    sharing one branch (e.g. two test names scored identically) —
+    compiled to one ``IN`` predicate instead of duplicate branches.
+    """
+    if default is None:
+        default = default_scores()
+    exprs: dict[str, Column | None] = {f: None for f in fields}
+    for name, fn in scorers.items():
+        names = name if isinstance(name, tuple) else (name,)
+        cond = F.col(dispatch_col).isin(*names)
+        branch = fn(df)
+        for f in fields:
+            b = branch[f]
+            exprs[f] = F.when(cond, b) if exprs[f] is None else exprs[f].when(cond, b)
+    out = df
+    for f in fields:
+        e = exprs[f].otherwise(default[f]) if exprs[f] is not None else default[f]
+        out = out.withColumn(prefix + f, e)
+    return out
+
+
 def set_compare_scorer(expected: list[str], got_col: Column) -> Column:
     """Two-way set difference scorer (C3 analog, core.py:660-729):
     missing = expected \\ got, extra = got \\ expected; full match → 0
@@ -125,16 +166,29 @@ def failure_case_table_scorer(
     """Failure-string case table (C10 analog, core.py:1101-1151): a known
     failure maps to fixed (blocking, accuracy); unknown failures get the
     conservative default and are labelled, mirroring the reference's
-    unknown-failure logging (C22, core.py:1136-1140)."""
-    blocking: Column = F.lit(default[0])
-    accuracy: Column = F.lit(default[1])
-    msg: Column = F.concat(F.lit("unknown_failure:"), failure_col)
-    for fail, (b, a) in reversed(list(case_table.items())):
+    unknown-failure logging (C22, core.py:1136-1140).
+
+    Built as FLAT when-chains (one CASE with k branches), not nested
+    otherwise-chains: nesting re-embeds ``failure_col`` — itself often a
+    CASE expression — once per level of the ELSE pyramid, which measured
+    as a 5x optimized-plan blowup and ~2x execution cost in the dispatch
+    query (round-5 profiling of the r2->r4 score_dispatch drift)."""
+    blocking: Column | None = None
+    accuracy: Column | None = None
+    msg: Column | None = None
+    for fail, (b, a) in case_table.items():
         cond = failure_col == F.lit(fail)
-        blocking = F.when(cond, F.lit(b)).otherwise(blocking)
-        accuracy = F.when(cond, F.lit(a)).otherwise(accuracy)
-        msg = F.when(cond, F.lit(fail)).otherwise(msg)
-    return make_scores(blocking, accuracy, msg)
+        blocking = F.when(cond, F.lit(b)) if blocking is None else blocking.when(cond, F.lit(b))
+        accuracy = F.when(cond, F.lit(a)) if accuracy is None else accuracy.when(cond, F.lit(a))
+        msg = F.when(cond, F.lit(fail)) if msg is None else msg.when(cond, F.lit(fail))
+    unknown = F.concat(F.lit("unknown_failure:"), failure_col)
+    if blocking is None:
+        return make_scores(F.lit(default[0]), F.lit(default[1]), unknown)
+    return make_scores(
+        blocking.otherwise(F.lit(default[0])),
+        accuracy.otherwise(F.lit(default[1])),
+        msg.otherwise(unknown),
+    )
 
 
 def tally_ratio_scorer(results_col: Column, is_failed) -> Column:

@@ -1745,11 +1745,18 @@ def score_dispatch_q(spark, sf):
     scorers = {
         "error": lambda df: SC.failure_case_table_scorer(failure, _FAILURE_TABLE),
         "purchase": lambda df: SC.tally_ratio_scorer(results, lambda x: x > 2),
-        "click": lambda df: SC.set_compare_scorer(["a", "b", "c"], got),
-        "view": lambda df: SC.set_compare_scorer(["a", "b", "c"], got),
+        # one shared branch for the two identically-scored types (one IN
+        # predicate, not two duplicate CASE arms)
+        ("click", "view"): lambda df: SC.set_compare_scorer(["a", "b", "c"], got),
     }
-    scored = SC.score(e, "event_type", scorers)
-    verdict = SC.confirmed_determination(F.col("scores"), fingerprint_hit=(k == 77))
+    # field-pruned dispatch: the verdict only reads blocking/accuracy, so
+    # the scorers' msg string work is deleted at optimization time
+    # (round-5 fix for the r2->r4 drift: ~5x smaller plan, ~2x faster)
+    scored = SC.score_fields(e, "event_type", scorers, fields=("blocking", "accuracy"))
+    verdict = SC.confirmed_determination(
+        F.struct(F.col("scores_blocking").alias("blocking"), F.col("scores_accuracy").alias("accuracy")),
+        fingerprint_hit=(k == 77),
+    )
     return scored.select("event_type", verdict.alias("verdict")).groupBy("event_type", "verdict").agg(
         F.count(F.lit(1)).alias("n")
     )
