@@ -2,10 +2,11 @@
 columns with typed metadata.
 
 The Spark-side machinery — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the actual codec work is stubbed behind
-deterministic fakes because the image/audio libraries are not in this
-container (clearly marked below). Swap ``_decode_image_stub`` for a real
-PIL/libvips call on a cluster that has them; nothing else changes.
+signatures — is real and tested. Image decode is FEATURE-GATED
+(:func:`resolve_decoder`): a cluster with PIL importable on its
+executors gets real width/height/thumbnail features automatically; this
+container has no codec libraries, so the default resolution lands on the
+clearly-marked deterministic stub. Audio/video decode remains stubbed.
 """
 
 from __future__ import annotations
@@ -54,13 +55,54 @@ def _decode_image_stub(data: bytes) -> tuple[int, int, list[float]]:
     return w, h, feat
 
 
-def extract_media_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+def _decode_image_pil(data: bytes) -> tuple[int, int, list[float]]:
+    """Real decode via PIL (feature-gated: selected only when PIL imports
+    on the EXECUTOR). Feature = 4-dim grayscale 2x2 thumbnail means — a
+    deterministic, codec-faithful analog of the stub's shape so downstream
+    schema/consumers are identical either way."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    w, h = img.size
+    thumb = img.convert("L").resize((2, 2))
+    feat = [float(p) for p in thumb.getdata()]
+    return w, h, feat
+
+
+def resolve_decoder(decoder: str = "auto"):
+    """Pick the decode callable: ``"stub"`` / ``"pil"`` force a branch,
+    ``"auto"`` uses PIL when importable and the deterministic stub
+    otherwise. Resolution must happen on the WORKER (executors may have
+    codecs the driver lacks and vice versa), so callers pass the NAME
+    into the closure and resolve inside the batch iterator."""
+    if decoder == "stub":
+        return _decode_image_stub
+    if decoder == "pil":
+        return _decode_image_pil
+    if decoder != "auto":
+        raise ValueError(f"unknown decoder {decoder!r}: use 'auto', 'stub' or 'pil'")
+    try:
+        import PIL.Image  # noqa: F401
+
+        return _decode_image_pil
+    except ImportError:
+        return _decode_image_stub
+
+
+def extract_media_meta(df: DataFrame, bin_col: str = "payload", decoder: str = "auto") -> DataFrame:
     """Typed metadata per blob via ``mapInPandas`` (iterator of Arrow
-    batches — constant memory regardless of blob count per partition)."""
+    batches — constant memory regardless of blob count per partition).
+    ``decoder`` selects the image decode branch (see
+    :func:`resolve_decoder`); a blob the selected decoder can't handle
+    yields NULL width/height/feature rather than failing the batch."""
     id_cols = [c for c in df.columns if c != bin_col]
     out_ddl = ", ".join(f"{c} {t}" for c, t in df.select(*id_cols).dtypes) + ", " + MEDIA_META_SCHEMA
+    decoder_name = decoder  # close over the NAME; resolve worker-side
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = resolve_decoder(decoder_name)
         for pdf in it:
             metas = []
             for b in pdf[bin_col]:
@@ -70,8 +112,13 @@ def extract_media_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
                 b = bytes(b)
                 mt = next((m for p, m in MAGIC if b.startswith(p)), "application/octet-stream")
                 try:
-                    w, h, feat = _decode_image_stub(b)
+                    w, h, feat = decode(b)
                 except NotImplementedError:
+                    w = h = None
+                    feat = None
+                except Exception:
+                    # real codec rejecting a non-image/corrupt payload is
+                    # data, not a bug: metadata stays NULL for that blob
                     w = h = None
                     feat = None
                 metas.append((mt, len(b), w, h, feat))

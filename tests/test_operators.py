@@ -250,6 +250,61 @@ def test_media_meta_plumbing(spark):
     assert out[1]["width"] == 1 + 0x89 % 64 and len(out[1]["feature"]) == 4
 
 
+def test_media_decoder_dispatch(monkeypatch):
+    """The decode branch is feature-gated: 'auto' picks PIL when it
+    imports (simulated here — no codec libs in this container) and the
+    deterministic stub otherwise; explicit names force a branch."""
+    import io
+    import sys
+    import types
+
+    from pipeline_spark.operators import multimodal as MM
+
+    # this container: PIL absent → auto == stub
+    assert MM.resolve_decoder("auto") is MM._decode_image_stub
+    assert MM.resolve_decoder("stub") is MM._decode_image_stub
+    assert MM.resolve_decoder("pil") is MM._decode_image_pil
+    with pytest.raises(ValueError):
+        MM.resolve_decoder("libvips")
+
+    # simulate a cluster whose workers have PIL: auto flips to the real
+    # branch, and the real branch decodes through the codec API
+    class FakeImg:
+        size = (640, 480)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (2, 2)
+            return self
+
+        def getdata(self):
+            return [10, 20, 30, 40]
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda buf: FakeImg()
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    assert MM.resolve_decoder("auto") is MM._decode_image_pil
+    w, h, feat = MM._decode_image_pil(b"\x89PNG....")
+    assert (w, h) == (640, 480) and feat == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_media_meta_real_branch_nulls_on_undecodable(spark):
+    """With the real decoder forced where no codec exists, blobs must
+    degrade to NULL metadata (codec rejection is data, not a crash) —
+    magic-type and byte_len stay populated."""
+    df = spark.createDataFrame([(1, b"\x89PNGnotreallyapng")], "id long, payload binary")
+    r = extract_media_meta(df, "payload", decoder="pil").collect()[0]
+    assert r["media_type"] == "image/png" and r["byte_len"] == 17
+    assert r["width"] is None and r["feature"] is None
+
+
 # -------------------------------------------------------------- functions
 
 def test_trivial_id_matches_hashlib(spark):
