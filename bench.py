@@ -261,7 +261,15 @@ def main() -> None:
                 raise RuntimeError(f"replay at local[{k}] failed")
             return float(line[0].split()[1])
 
-        pairs = [(2, 8), (8, 32)] if cpus >= 32 else [(max(1, cpus // 4), cpus)]
+        # SPARK_GRAFT_SCALING_PAIRS="8:32" (or "2:8,8:32") measures only
+        # the named pair(s) — e.g. appending 8->32 evidence to the 2M
+        # profile without paying three 2-core 2M replays (~6.5 min each).
+        # Reporting still covers every pair with data (see report_pairs).
+        pairs_env = os.environ.get("SPARK_GRAFT_SCALING_PAIRS")
+        if pairs_env:
+            pairs = [tuple(int(x) for x in s.split(":")) for s in pairs_env.split(",")]
+        else:
+            pairs = [(2, 8), (8, 32)] if cpus >= 32 else [(max(1, cpus // 4), cpus)]
         levels = sorted({k for p in pairs for k in p})
         # The sandbox host is a shared VM: available CPU swings minute to
         # minute (observed pure-CPU spin "efficiency" from 0.57 to 3.3
@@ -295,22 +303,49 @@ def main() -> None:
                 and legacy.get("max_files_per_trigger", 4) == max_files
             ):
                 prev = legacy
+        # carry EVERY cached level through, not just the measured ones —
+        # a pair-scoped run (SPARK_GRAFT_SCALING_PAIRS) must never drop
+        # another level's accumulated attempts from the profile cache
         if prev is not None:
-            for k in levels:
+            cached_levels = {int(k) for k in prev.get("attempts_sec", {})} | {
+                int(k) for k in prev.get("extract_attempts_sec", {})
+            }
+            for k in sorted(cached_levels | set(levels)):
+                attempts.setdefault(k, [])
+                extract_attempts.setdefault(k, [])
                 old = prev.get("attempts_sec", {}).get(str(k), [])
                 attempts[k].extend(old)
                 if old:
                     results[k] = min(old)
                 old_ex = prev.get("extract_attempts_sec", {}).get(str(k), [])
                 extract_attempts[k].extend(old_ex)
+        # Window-consistent pair samples, stored EXPLICITLY: the i-th zip
+        # of two attempt lists is only a same-repeat pair while both
+        # levels append in lockstep; a pair-scoped run breaks that
+        # alignment, so from round 5 each repeat records its own
+        # (t_low, t_high) tuple. Legacy caches (symmetric appends only)
+        # seed from the aligned zip — identical numbers, then append-only.
+        window_pairs: dict[str, list] = dict(prev.get("window_pairs", {})) if prev else {}
+        cached_pairs = {
+            (p["parallelism_low"], p["parallelism_high"]) for p in (prev or {}).get("pairs", [])
+        }
+        report_pairs = sorted(
+            set(pairs) | cached_pairs | {tuple(int(x) for x in k.split(":")) for k in window_pairs}
+        )
+        for lo, hi in report_pairs:
+            key = f"{lo}:{hi}"
+            if key not in window_pairs and attempts.get(lo) and len(attempts[lo]) == len(attempts.get(hi, [])):
+                window_pairs[key] = [[a, b] for a, b in zip(attempts[lo], attempts[hi])]
         # per-repeat mem controls: the ratio must pair measurements from
         # ONE repeat's window (max-of-each-level across repeats would
         # reintroduce exactly the cross-window fragility the same-repeat
         # estimator exists to avoid)
         mem_control_reps: dict[int, list[float]] = {k: [] for k in levels}
         for r in range(repeats):
+            this_repeat: dict[int, float] = {}
             for k in levels:
                 t = replay_at(k)
+                this_repeat[k] = round(t, 3)
                 attempts[k].append(round(t, 3))
                 results[k] = min(results.get(k, 1e18), t)
                 control[k] = max(control.get(k, 0.0), _cpu_spin_control(k))
@@ -323,9 +358,14 @@ def main() -> None:
                     line = [ln for ln in p.stdout.splitlines() if ln.startswith("EXTRACT_SECONDS")]
                     if line:
                         extract_attempts[k].append(round(float(line[0].split()[1]), 3))
+            # this repeat's (low, high) tuples ARE the same-window samples
+            # the primary estimator is defined over — record them directly
+            for lo, hi in pairs:
+                if lo in this_repeat and hi in this_repeat:
+                    window_pairs.setdefault(f"{lo}:{hi}", []).append([this_repeat[lo], this_repeat[hi]])
         # extract-stage times merge across runs like replay attempts do
-        for k in levels:
-            if extract_attempts[k]:
+        for k in attempts:
+            if extract_attempts.get(k):
                 extract_stage[k] = min(extract_attempts[k])
 
         scaling = {
@@ -335,11 +375,16 @@ def main() -> None:
             "max_files_per_trigger": max_files,
             "attempts_sec": {str(k): v for k, v in attempts.items()},
             "extract_attempts_sec": {str(k): v for k, v in extract_attempts.items()},
+            "window_pairs": window_pairs,
             "pairs": [],
         }
-        for lo, hi in pairs:
+        prev_pairs = {
+            (p["parallelism_low"], p["parallelism_high"]): p for p in (prev or {}).get("pairs", [])
+        }
+        for lo, hi in report_pairs:
+            if lo not in results or hi not in results:
+                continue  # no attempts at one level yet: nothing to report
             eff = (results[lo] / results[hi]) / (hi / lo)
-            ctrl_eff = (control[hi] / control[lo]) / (hi / lo)
             entry = {
                 "parallelism_low": lo,
                 "parallelism_high": hi,
@@ -348,8 +393,12 @@ def main() -> None:
                 "events_per_sec_low": round(n_events / results[lo], 1),
                 "events_per_sec_high": round(n_events / results[hi], 1),
                 "scaling_efficiency": round(eff, 3),
-                "host_cpu_control_efficiency": round(ctrl_eff, 3),
             }
+            if lo in control and hi in control:
+                entry["host_cpu_control_efficiency"] = round((control[hi] / control[lo]) / (hi / lo), 3)
+            elif (lo, hi) in prev_pairs and "host_cpu_control_efficiency" in prev_pairs[(lo, hi)]:
+                # pair not re-measured this run: keep its last disclosed control
+                entry["host_cpu_control_efficiency"] = prev_pairs[(lo, hi)]["host_cpu_control_efficiency"]
             mem_pairs = [
                 round((m_hi / m_lo) / (hi / lo), 3)
                 for m_lo, m_hi in zip(mem_control_reps.get(lo, []), mem_control_reps.get(hi, []))
@@ -360,18 +409,22 @@ def main() -> None:
                 # measurements; max mirrors the primary estimator's choice
                 entry["mem_control_pair_efficiencies"] = mem_pairs
                 entry["host_mem_control_efficiency"] = max(mem_pairs)
+            elif (lo, hi) in prev_pairs and "host_mem_control_efficiency" in prev_pairs[(lo, hi)]:
+                entry["host_mem_control_efficiency"] = prev_pairs[(lo, hi)]["host_mem_control_efficiency"]
             if extract_stage.get(lo) and extract_stage.get(hi):
                 entry["extract_stage_seconds_low"] = extract_stage[lo]
                 entry["extract_stage_seconds_high"] = extract_stage[hi]
                 entry["extract_stage_efficiency"] = round((extract_stage[lo] / extract_stage[hi]) / (hi / lo), 3)
-            # Same-repeat pairing: the i-th low/high attempts ran minutes
-            # apart inside one interleaved repeat, so their RATIO sees the
-            # same host window — unlike cross-run mins, which can pair a
-            # contended low with a quiet high (understating) or vice versa
-            # (overstating). Disclosed alongside, max + all values.
+            # Same-repeat pairing: the two attempts of a window pair ran
+            # minutes apart inside one interleaved repeat, so their RATIO
+            # sees the same host window — unlike cross-run mins, which can
+            # pair a contended low with a quiet high (understating) or
+            # vice versa (overstating). Sourced from the explicit
+            # window_pairs records (seeded from the aligned legacy zip for
+            # pre-round-5 caches). Disclosed alongside, max + all values.
             rp = [
                 round((t_lo / t_hi) / (hi / lo), 3)
-                for t_lo, t_hi in zip(attempts[lo], attempts[hi])
+                for t_lo, t_hi in window_pairs.get(f"{lo}:{hi}", [])
             ]
             if rp:
                 entry["repeat_pair_efficiencies"] = rp
@@ -568,7 +621,7 @@ def _write_baseline_md(s: dict) -> None:
         f"| **{p.get('best_repeat_pair_efficiency', '—')}** "
         f"| {p['scaling_efficiency']} "
         f"| {p.get('extract_stage_efficiency', '—')} "
-        f"| {p['host_cpu_control_efficiency']} "
+        f"| {p.get('host_cpu_control_efficiency', '—')} "
         f"| {p.get('host_mem_control_efficiency', '—')} |"
         for p in s["pairs"]
     )
