@@ -218,7 +218,20 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--extract", choices=["winners", "eager"], default="winners")
     ap.add_argument("--extract-stage-only", action="store_true")
+    ap.add_argument(
+        "--rebaseline",
+        action="store_true",
+        help="rewrite BENCH/BASELINE.md from the cached headline profile without measuring anything",
+    )
     args = ap.parse_args()
+
+    if args.rebaseline:
+        # reporting-only: re-render the markdown (prose template + the
+        # dynamic sections that read every checked-in profile cache) from
+        # the headline cache. No measurement, no cache mutation.
+        _write_baseline_md(json.load(open(SCALING_CACHE)))
+        print("BASELINE.md regenerated from cached headline profile")
+        return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -336,6 +349,17 @@ def main() -> None:
             key = f"{lo}:{hi}"
             if key not in window_pairs and attempts.get(lo) and len(attempts[lo]) == len(attempts.get(hi, [])):
                 window_pairs[key] = [[a, b] for a, b in zip(attempts[lo], attempts[hi])]
+        # Per-pair mem-control attribution (round 5): the cache-level
+        # mem_control_pair_efficiencies list is run-scoped, so across runs
+        # a window pair loses the control that certified (or indicted) its
+        # window. Keep a parallel list aligned index-for-index with
+        # window_pairs; pre-existing pairs get None (unattributed).
+        window_pair_mem: dict[str, list] = (
+            dict(prev.get("window_pair_mem_controls", {})) if prev else {}
+        )
+        for key, wp in window_pairs.items():
+            got = list(window_pair_mem.get(key, []))
+            window_pair_mem[key] = got + [None] * (len(wp) - len(got))
         # per-repeat mem controls: the ratio must pair measurements from
         # ONE repeat's window (max-of-each-level across repeats would
         # reintroduce exactly the cross-window fragility the same-repeat
@@ -363,6 +387,10 @@ def main() -> None:
             for lo, hi in pairs:
                 if lo in this_repeat and hi in this_repeat:
                     window_pairs.setdefault(f"{lo}:{hi}", []).append([this_repeat[lo], this_repeat[hi]])
+                    m_lo, m_hi = mem_control_reps[lo][-1], mem_control_reps[hi][-1]
+                    window_pair_mem.setdefault(f"{lo}:{hi}", []).append(
+                        round((m_hi / m_lo) / (hi / lo), 3) if m_lo > 0 else None
+                    )
         # extract-stage times merge across runs like replay attempts do
         for k in attempts:
             if extract_attempts.get(k):
@@ -376,6 +404,7 @@ def main() -> None:
             "attempts_sec": {str(k): v for k, v in attempts.items()},
             "extract_attempts_sec": {str(k): v for k, v in extract_attempts.items()},
             "window_pairs": window_pairs,
+            "window_pair_mem_controls": window_pair_mem,
             "pairs": [],
         }
         prev_pairs = {
@@ -611,17 +640,12 @@ def _cpu_spin_control(n: int, secs: float = 3.0) -> float:
     return total / secs
 
 
-def _amdahl_fit_section() -> str:
-    """Serial/parallel decomposition fitted from the disclosed wall-time
-    floors, rendered into BASELINE.md at every regeneration.
-
-    Model: T(N) = s + w/N (Amdahl), least-squares over x = 1/N using each
-    profile's per-level best (least-contended) attempt as the quiet-window
-    floor. The fit quantifies the one number round-4's verdict left open:
-    how much of the 8->32 gap is the job's own serial fraction vs host
-    noise. A profile contributes only if all three levels (2, 8, 32) have
-    at least one attempt.
-    """
+def _fit_profiles() -> list[dict]:
+    """Amdahl T(N) = s + w/N least-squares fits (over x = 1/N) of every
+    checked-in profile cache that has attempts at all three levels
+    (2, 8, 32), using each level's best (least-contended) attempt as the
+    quiet-window floor. Shared by the fit table and the prediction-
+    validation section below."""
     import glob
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
@@ -655,9 +679,22 @@ def _amdahl_fit_section() -> str:
                 "measured_8_32": measured.get("8:32"),
             }
         )
+    fits.sort(key=lambda f: f["events"])
+    return fits
+
+
+def _amdahl_fit_section() -> str:
+    """Serial/parallel decomposition fitted from the disclosed wall-time
+    floors, rendered into BASELINE.md at every regeneration.
+
+    The fit quantifies the one number round-4's verdict left open:
+    how much of the 8->32 gap is the job's own serial fraction vs host
+    noise. A profile contributes only if all three levels (2, 8, 32) have
+    at least one attempt.
+    """
+    fits = _fit_profiles()
     if not fits:
         return ""
-    fits.sort(key=lambda f: f["events"])
     rows = "\n".join(
         f"| {f['events']:,} | {f['s']:.1f}s | {f['w']:.0f}s | {f['serial_share_8']:.0%} "
         f"| {f['implied_2_8']:.3f} | {f['implied_8_32']:.3f} | {f['measured_8_32']} |"
@@ -693,6 +730,98 @@ depth, not tuning, and at the 10^10-event north-rule scale the serial
 share at 8→32 is ~{big['s'] / (big['s'] + big['w'] / big['events'] * 1e10 / 8) * 100:.4f}% — efficiency there is set by the
 host ceiling alone.
 """
+
+
+def _prediction_validation_section() -> str:
+    """Out-of-sample test of the Amdahl fit, rendered dynamically from
+    any pair-scoped validation profile (a cache with 8/32 attempts but no
+    2-core level — by construction excluded from the fit itself).
+
+    The fit over the 1M/2M profiles predicts eff(8->32) reaches 0.8 at a
+    ~4M-event backlog; this section reports every 8->32 window pair
+    measured at such a backlog next to the prediction, with each pair's
+    own same-window memory control where recorded (the control that says
+    whether the window could have shown 0.8 AT ALL). Append-only like
+    everything else: contended pairs stay in the table forever.
+    """
+    import glob
+
+    fits = _fit_profiles()
+    if not fits:
+        return ""
+    fit_events = {f["events"] for f in fits}
+    big = max(fits, key=lambda f: f["events"])
+    we = big["w"] / big["events"]  # parallel sec per event from the largest full profile
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    out = []
+    for path in sorted(glob.glob(os.path.join(bench_dir, "scaling_*ev.json"))):
+        try:
+            cache = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        ev = cache.get("events")
+        wp = cache.get("window_pairs", {}).get("8:32", [])
+        if ev in fit_events or not wp:
+            continue
+        mems = cache.get("window_pair_mem_controls", {}).get("8:32", [])
+        mems = mems + [None] * (len(wp) - len(mems))
+        t8p = big["s"] + we * ev / 8
+        t32p = big["s"] + we * ev / 32
+        implied = t8p / t32p / 4
+        rows = "\n".join(
+            f"| {t8:.1f}s → {t32:.1f}s | {(t8 / t32) / 4:.3f} | {m if m is not None else '— (pre-attribution run)'} |"
+            for (t8, t32), m in zip(wp, mems)
+        )
+        quiet = [
+            ((t8 / t32) / 4, m) for (t8, t32), m in zip(wp, mems) if m is not None and m >= 0.9
+        ]
+        floors8 = min(t for t, _ in wp)
+        floors32 = min(t for _, t in wp)
+        if quiet:
+            best_eff, best_m = max(quiet)
+            verdict = (
+                f"**Measured {best_eff:.3f} in a control-certified window (mem control "
+                f"{best_m}) vs {implied:.2f} implied** — the out-of-sample prediction "
+                f"made by the fit before this profile was measured."
+            )
+        else:
+            run_mems = next(
+                (
+                    p.get("mem_control_pair_efficiencies")
+                    for p in cache.get("pairs", [])
+                    if p["parallelism_low"] == 8 and p["parallelism_high"] == 32
+                ),
+                None,
+            )
+            verdict = (
+                f"**No control-certified quiet window yet** — no recorded 8→32 pair at "
+                f"this backlog has a same-window mem control ≥ 0.9 (the most recent run's "
+                f"controls: {run_mems}; pairs before per-pair attribution have no surviving "
+                f"per-window control record). Below 0.9 means no "
+                f"memory-touching workload could have measured ≥0.8 in that window. What the "
+                f"contended data does show: the 8-core floor ({floors8:.1f}s) sits near the "
+                f"fit's quiet prediction ({t8p:.0f}s) while the 32-core floor ({floors32:.1f}s "
+                f"vs {t32p:.0f}s predicted) carries the contention — consistent with round 4's "
+                f"finding that 32-core wall times swing 2-3× with host memory-bus load while "
+                f"8-core times barely move. The prediction stands untested, not refuted; "
+                f"further pairs append uncurated."
+            )
+        out.append(
+            f"""
+## Out-of-sample test of the fit: the {ev / 1e6:.0f} M-event backlog (round 5)
+
+The fit above (from the 1M/2M floors alone) implies quiet eff(8→32) ≈
+**{implied:.2f}** at {ev:,} events (predicted floors {t8p:.0f}s → {t32p:.0f}s).
+Measured 8→32 window pairs at that backlog, appended uncurated:
+
+| T_8 → T_32 | pair eff. | same-window mem control |
+|---|---|---|
+{rows}
+
+{verdict}
+"""
+        )
+    return "".join(out)
 
 
 def _write_baseline_md(s: dict) -> None:
@@ -884,7 +1013,7 @@ the PRIMARY to 0.909 and restored best-of-mins to 0.802: both
 estimators finish the round above the ≥0.8 criterion, with every
 attempt in the JSON and zero curation. The quiet-window extract stage
 reached 0.962 at 2→8.
-{_amdahl_fit_section()}"""
+{_amdahl_fit_section()}{_prediction_validation_section()}"""
         )
 
 

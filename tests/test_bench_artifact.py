@@ -94,3 +94,20 @@ def test_other_profiles_come_from_checked_in_snapshots():
     for rec in bench._other_profile_summaries():
         assert rec["events"] != bench.HEADLINE_PROFILE["events"] or rec["sf"] != bench.HEADLINE_PROFILE["sf"]
         assert set(rec) == {"events", "sf", "pair", "primary_efficiency", "host_cpu_control_efficiency"}
+
+
+def test_prediction_validation_section_discloses_every_pair():
+    """The out-of-sample (4M-backlog) section must list EVERY recorded
+    8->32 window pair of each validation profile — append-only disclosure,
+    no curation — and state the fit's prediction it is testing."""
+    section = bench._prediction_validation_section()
+    if not section:  # no validation profile checked in (fresh clone)
+        return
+    assert "Out-of-sample test of the fit" in section
+    cache = json.load(open(os.path.join(REPO, "BENCH", "scaling_4000000ev.json")))
+    pairs = cache.get("window_pairs", {}).get("8:32", [])
+    assert pairs, "validation profile lost its window pairs"
+    for t8, t32 in pairs:
+        assert f"{t8:.1f}s → {t32:.1f}s" in section
+    # verdict is one of the two honest states, never silence
+    assert ("control-certified window" in section) or ("No control-certified quiet window" in section)
