@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Quiet-window hunter for the 4M-event 8->32 validation pair.
+
+The Amdahl fit (BENCH/BASELINE.md) makes an out-of-sample prediction:
+eff(8->32) ~= 0.80 at a 4,000,000-event backlog. Testing it needs a
+window whose memory-bus contention is low enough that 0.8 is even
+measurable (same-window mem control >= 0.9; round-4 finding: the
+register-only spin control cannot certify this). This host is a shared
+VM, so quiet windows come and go on minute timescales.
+
+Protocol-safe by construction: this script only decides WHEN to run
+`bench.py --scaling` (pair-scoped, one repeat); every attempt the run
+takes is appended uncurated to the per-profile cache exactly as a
+manual invocation would, and the paired mem control is recorded by the
+run itself. Skipping a contended minute is not curation — no
+measurement is taken and then discarded; the decision is made before
+measuring, from an independent probe.
+
+Exit: as soon as the cache holds an 8->32 pair whose same-window mem
+control is >= 0.9, or when the deadline passes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench", "scaling_sf0.1_4000000ev_zstd_mf8.json")
+
+PROBE_GATE = 0.85  # launch threshold for the pre-run probe (the run's own paired control decides certification)
+PROBE_EVERY_S = 150
+DEADLINE_S = float(os.environ.get("HUNT_DEADLINE_S", 9000))
+
+
+def certified() -> float | None:
+    try:
+        cache = json.load(open(CACHE))
+    except (OSError, ValueError):
+        return None
+    pairs = cache.get("window_pairs", {}).get("8:32", [])
+    mems = cache.get("window_pair_mem_controls", {}).get("8:32", [])
+    for (t8, t32), m in zip(pairs, mems):
+        if m is not None and m >= 0.9:
+            return round((t8 / t32) / 4, 3)
+    return None
+
+
+def probe() -> float:
+    import bench
+
+    m8 = bench._mem_regex_control(8)
+    m32 = bench._mem_regex_control(32)
+    return (m32 / m8) / 4 if m8 > 0 else 0.0
+
+
+def main() -> None:
+    t0 = time.monotonic()
+    log = lambda msg: print(f"[{time.monotonic() - t0:7.0f}s] {msg}", flush=True)
+    runs = 0
+    while time.monotonic() - t0 < DEADLINE_S:
+        eff = certified()
+        if eff is not None:
+            log(f"DONE: control-certified 8->32 pair at 4M, eff={eff}")
+            return
+        p = probe()
+        log(f"probe mem-control eff {p:.3f} (gate {PROBE_GATE})")
+        if p >= PROBE_GATE:
+            runs += 1
+            log(f"window looks quiet -> launching pair-scoped 4M run #{runs}")
+            env = {
+                **os.environ,
+                "SPARK_GRAFT_BENCH_EVENTS": "4000000",
+                "SPARK_GRAFT_SCALING_PAIRS": "8:32",
+                "SPARK_GRAFT_SCALING_REPEATS": "1",
+            }
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            tail = (r.stdout.strip().splitlines() or [""])[-1]
+            log(f"run #{runs} exit={r.returncode} tail={tail[:200]}")
+            if r.returncode != 0:
+                log(r.stderr[-1000:])
+        else:
+            time.sleep(PROBE_EVERY_S)
+    log(f"deadline reached after {runs} runs; no certified pair yet")
+
+
+if __name__ == "__main__":
+    main()
