@@ -94,6 +94,23 @@ def test_cli_drive_all_verbs(spark, capsys, stream, work):
     assert out["snapshots_removed"] >= 0
 
 
+def test_cli_replay_is_fenced_across_invocations(spark, capsys, stream, work):
+    """Operational exactly-once: re-running the replay verb — even with a
+    BRAND-NEW checkpoint (simulating a lost checkpoint dir after an
+    operator error) — applies nothing, because the epoch fence in the
+    table's snapshot properties outlives any checkpoint."""
+    table = os.path.join(work, "pages")  # replayed by test_cli_drive_all_verbs
+    from pipeline_spark.lake import LakeTable
+
+    v0 = LakeTable(spark, table).current_version()
+    out = run_cli(
+        capsys, "replay", "--stream", stream, "--table", table,
+        "--checkpoint", os.path.join(work, "ckpt_fresh"), "--max-files", "1",
+    )
+    assert out["version"] == v0
+    assert out["batches"] == 0 and out["batches_skipped"] > 0
+
+
 def test_cli_bad_schema_is_a_clean_error(spark, capsys, work):
     with pytest.raises(SystemExit):
         run_cli(capsys, "create", "--table", os.path.join(work, "x"), "--schema", "nope")
