@@ -28,7 +28,27 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
-CACHE = os.path.join(REPO, ".bench", "scaling_sf0.1_4000000ev_zstd_mf8.json")
+
+EVENTS = 4_000_000
+
+
+def _cache_path() -> str:
+    # derive the profile cache path from bench's own helper + the same
+    # env defaults the launched run will use — a hardcoded filename here
+    # would silently desync from the cache bench actually writes, and the
+    # exit condition would never fire
+    import bench
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_SF_DIR",
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    return bench._profile_cache_path(
+        EVENTS,
+        os.path.basename(sf_dir.rstrip("/")),
+        os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        int(os.environ.get("SPARK_GRAFT_BENCH_MAX_FILES", "8")),
+    )
 
 PROBE_GATE = 0.85  # launch threshold for the pre-run probe (the run's own paired control decides certification)
 PROBE_EVERY_S = 150
@@ -36,14 +56,20 @@ DEADLINE_S = float(os.environ.get("HUNT_DEADLINE_S", 9000))
 
 
 def certified() -> float | None:
+    import bench
+
+    lo, hi = bench.MEM_CONTROL_CERT_BAND
     try:
-        cache = json.load(open(CACHE))
+        cache = json.load(open(_cache_path()))
     except (OSError, ValueError):
         return None
     pairs = cache.get("window_pairs", {}).get("8:32", [])
     mems = cache.get("window_pair_mem_controls", {}).get("8:32", [])
     for (t8, t32), m in zip(pairs, mems):
-        if m is not None and m >= 0.9:
+        # inside the band only: a superlinear control means the 8-proc leg
+        # itself was degraded — an inconsistent window certifies nothing
+        # (this exit fired wrongly on a 1.681 control before the band)
+        if m is not None and lo <= m <= hi:
             return round((t8 / t32) / 4, 3)
     return None
 

@@ -39,6 +39,20 @@ SCALING_CACHE = os.path.join(BENCH_DIR, "scaling.json")
 #: the profile whose numbers are the headline (BASELINE.md table)
 HEADLINE_PROFILE = {"events": 1_000_000, "sf": "sf0.1", "codec": "zstd", "max_files": 8}
 
+#: A same-window mem control certifies a pair's window only INSIDE this
+#: band. Below 0.9: the window was contended — no memory-touching workload
+#: could have measured ≥0.8 in it. Above 1.15: physically inconsistent —
+#: the control kernel cannot scale superlinearly, so a high ratio means
+#: the LOW-parallelism leg itself was degraded, and a window that distorts
+#: the ratio in either direction certifies nothing. The upper bound was
+#: added late round 5 after a leftover hunter recorded a 1.681 "control"
+#: in a window that overlapped a concurrent pytest run (full timeline:
+#: BENCH/experiments/r5_4m_window_notes.md). This amends the CERTIFICATION
+#: rule only — the pre-registered primary estimator and the append-only
+#: attempt protocol are untouched, and the out-of-band pair stays
+#: disclosed in the table forever like every other attempt.
+MEM_CONTROL_CERT_BAND = (0.9, 1.15)
+
 
 def _profile_cache_path(n_events: int, sf: str, codec: str, max_files: int) -> str:
     """Per-profile attempt cache: the profile is IN the filename, so
@@ -228,9 +242,20 @@ def main() -> None:
     if args.rebaseline:
         # reporting-only: re-render the markdown (prose template + the
         # dynamic sections that read every checked-in profile cache) from
-        # the headline cache. No measurement, no cache mutation.
-        _write_baseline_md(json.load(open(SCALING_CACHE)))
-        print("BASELINE.md regenerated from cached headline profile")
+        # the headline cache. No measurement, no cache mutation. On a
+        # fresh clone the local .bench/ cache is absent (gitignored) —
+        # fall back to the checked-in BENCH/ snapshot of the same profile.
+        source = SCALING_CACHE
+        if not os.path.exists(source):
+            source = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH",
+                f"scaling_{HEADLINE_PROFILE['events']}ev.json",
+            )
+        if not os.path.exists(source):
+            raise SystemExit("no headline scaling cache (.bench/ or BENCH/): run bench.py --scaling first")
+        _write_baseline_md(json.load(open(source)))
+        print(f"BASELINE.md regenerated from cached headline profile ({os.path.relpath(source)})")
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -345,9 +370,22 @@ def main() -> None:
         report_pairs = sorted(
             set(pairs) | cached_pairs | {tuple(int(x) for x in k.split(":")) for k in window_pairs}
         )
+        # Seeding from the zip is ONLY valid for true legacy caches (no
+        # window_pairs recorded at all ⇒ every append was lockstep). A
+        # post-round-5 cache may hold non-lockstep attempt lists from
+        # pair-scoped runs; zipping those would fabricate "same-window"
+        # pairs for a never-measured combination and feed the primary
+        # estimator cross-window samples. Equal lengths there is
+        # coincidence, not alignment — never seed.
+        legacy_cache = prev is not None and "window_pairs" not in prev
         for lo, hi in report_pairs:
             key = f"{lo}:{hi}"
-            if key not in window_pairs and attempts.get(lo) and len(attempts[lo]) == len(attempts.get(hi, [])):
+            if (
+                legacy_cache
+                and key not in window_pairs
+                and attempts.get(lo)
+                and len(attempts[lo]) == len(attempts.get(hi, []))
+            ):
                 window_pairs[key] = [[a, b] for a, b in zip(attempts[lo], attempts[hi])]
         # Per-pair mem-control attribution (round 5): the cache-level
         # mem_control_pair_efficiencies list is run-scoped, so across runs
@@ -556,21 +594,31 @@ def _scaling_summary(cache: dict) -> dict:
     }
 
 
+def _profile_snapshots() -> list[tuple[str, dict]]:
+    """Every readable checked-in BENCH/ profile snapshot, as (path, cache)
+    pairs sorted by path. The single discovery point for the three
+    consumers below (driver-line summary, Amdahl fit, prediction
+    validation) — they must all see the same set of profiles."""
+    import glob
+
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    out = []
+    for path in sorted(glob.glob(os.path.join(bench_dir, "scaling_*ev.json"))):
+        try:
+            out.append((path, json.load(open(path))))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def _other_profile_summaries() -> list:
     """One tiny record per non-headline profile snapshot (e.g. the
     2M-event amortization profile) so the driver line shows the whole
     scaling story without any attempt arrays. Reads the checked-in
     BENCH/ disclosure snapshots, not the local .bench attempt caches."""
-    import glob
-
-    bench_disclosure_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     headline_events = HEADLINE_PROFILE["events"]
     out = []
-    for path in sorted(glob.glob(os.path.join(bench_disclosure_dir, "scaling_*.json"))):
-        try:
-            cache = json.load(open(path))
-        except (OSError, ValueError):
-            continue
+    for _path, cache in _profile_snapshots():
         if cache.get("events") == headline_events and cache.get("sf") == HEADLINE_PROFILE["sf"]:
             continue  # the headline cache is already in out["scaling"]
         for p in cache.get("pairs", []):
@@ -646,15 +694,8 @@ def _fit_profiles() -> list[dict]:
     (2, 8, 32), using each level's best (least-contended) attempt as the
     quiet-window floor. Shared by the fit table and the prediction-
     validation section below."""
-    import glob
-
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     fits = []
-    for path in sorted(glob.glob(os.path.join(bench_dir, "scaling_*ev.json"))):
-        try:
-            cache = json.load(open(path))
-        except (OSError, ValueError):
-            continue
+    for _path, cache in _profile_snapshots():
         mins = {int(k): min(v) for k, v in cache.get("attempts_sec", {}).items() if v}
         if not {2, 8, 32} <= set(mins):
             continue
@@ -744,21 +785,14 @@ def _prediction_validation_section() -> str:
     whether the window could have shown 0.8 AT ALL). Append-only like
     everything else: contended pairs stay in the table forever.
     """
-    import glob
-
     fits = _fit_profiles()
     if not fits:
         return ""
     fit_events = {f["events"] for f in fits}
     big = max(fits, key=lambda f: f["events"])
     we = big["w"] / big["events"]  # parallel sec per event from the largest full profile
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     out = []
-    for path in sorted(glob.glob(os.path.join(bench_dir, "scaling_*ev.json"))):
-        try:
-            cache = json.load(open(path))
-        except (OSError, ValueError):
-            continue
+    for _path, cache in _profile_snapshots():
         ev = cache.get("events")
         wp = cache.get("window_pairs", {}).get("8:32", [])
         if ev in fit_events or not wp:
@@ -772,17 +806,22 @@ def _prediction_validation_section() -> str:
             f"| {t8:.1f}s → {t32:.1f}s | {(t8 / t32) / 4:.3f} | {m if m is not None else '— (pre-attribution run)'} |"
             for (t8, t32), m in zip(wp, mems)
         )
+        lo_band, hi_band = MEM_CONTROL_CERT_BAND
         quiet = [
-            ((t8 / t32) / 4, m) for (t8, t32), m in zip(wp, mems) if m is not None and m >= 0.9
+            ((t8 / t32) / 4, m)
+            for (t8, t32), m in zip(wp, mems)
+            if m is not None and lo_band <= m <= hi_band
         ]
+        over_band = [m for m in mems if m is not None and m > hi_band]
         floors8 = min(t for t, _ in wp)
         floors32 = min(t for _, t in wp)
         if quiet:
             best_eff, best_m = max(quiet)
             verdict = (
                 f"**Measured {best_eff:.3f} in a control-certified window (mem control "
-                f"{best_m}) vs {implied:.2f} implied** — the out-of-sample prediction "
-                f"made by the fit before this profile was measured."
+                f"{best_m}, inside the band [{lo_band}, {hi_band}]) vs {implied:.2f} "
+                f"implied** — the out-of-sample prediction made by the fit before this "
+                f"profile was measured."
             )
         else:
             run_mems = next(
@@ -793,12 +832,23 @@ def _prediction_validation_section() -> str:
                 ),
                 None,
             )
+            over_note = (
+                f" One recorded control ({max(over_band)}) sits ABOVE the band — a "
+                f"superlinear control is physically inconsistent (the 8-process leg "
+                f"itself was degraded, in that case by a concurrent test-suite run; "
+                f"see BENCH/experiments/r5_4m_window_notes.md), so it certifies "
+                f"nothing in either direction."
+                if over_band
+                else ""
+            )
             verdict = (
                 f"**No control-certified quiet window yet** — no recorded 8→32 pair at "
-                f"this backlog has a same-window mem control ≥ 0.9 (the most recent run's "
+                f"this backlog has a same-window mem control inside the certification "
+                f"band [{lo_band}, {hi_band}] (the most recent run's "
                 f"controls: {run_mems}; pairs before per-pair attribution have no surviving "
-                f"per-window control record). Below 0.9 means no "
-                f"memory-touching workload could have measured ≥0.8 in that window. What the "
+                f"per-window control record). Below {lo_band} means no "
+                f"memory-touching workload could have measured ≥0.8 in that window."
+                f"{over_note} What the "
                 f"contended data does show: the 8-core floor ({floors8:.1f}s) sits near the "
                 f"fit's quiet prediction ({t8p:.0f}s) while the 32-core floor ({floors32:.1f}s "
                 f"vs {t32p:.0f}s predicted) carries the contention — consistent with round 4's "

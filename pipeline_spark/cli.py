@@ -38,14 +38,46 @@ def _table(spark, path: str):
 
 
 def _parse_schema(spec: str) -> list[tuple[str, str]]:
-    """``url:string,warc_ts:timestamp,html:binary`` → [(name, ddl), ...]."""
-    out = []
-    for part in spec.split(","):
-        name, _, typ = part.strip().partition(":")
-        if not name or not typ:
-            raise SystemExit(f"bad --schema entry {part!r}; want name:type")
-        out.append((name, typ))
+    """``url:string,warc_ts:timestamp,html:binary`` → [(name, ddl), ...].
+
+    Splits on top-level commas only, so parameterized DDL types —
+    ``decimal(10,2)``, ``map<string,int>``, ``struct<a:int,b:string>`` —
+    pass through to Spark intact."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(spec + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = spec[start:i].strip()
+            start = i + 1
+            if not part:
+                continue
+            name, _, typ = part.partition(":")
+            if not name.strip() or not typ.strip():
+                raise SystemExit(f"bad --schema entry {part!r}; want name:type")
+            out.append((name.strip(), typ.strip()))
+    if not out:
+        raise SystemExit(f"bad --schema {spec!r}; want name:type,...")
     return out
+
+
+def _parquet_footer_rows(out_dir: str) -> int | None:
+    """Row count of a just-written local parquet dir from footer metadata
+    only — saves the second full scan a count job would run."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    if not files:
+        return None
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 def cmd_create(args) -> dict:
@@ -70,6 +102,12 @@ def cmd_replay(args) -> dict:
 
     spark = _spark(args, "replay")
     t = _table(spark, args.table)
+    kwargs = {}
+    if args.schema:
+        # custom-schema tables need the stream read with THEIR columns —
+        # the default CDC DDL would surface the key/version as NULL and
+        # merge's discard filter would silently drop every row
+        kwargs["schema_ddl"] = ", ".join(f"{n} {typ}" for n, typ in _parse_schema(args.schema))
     counters = replay_stream(
         spark,
         args.stream,
@@ -79,6 +117,7 @@ def cmd_replay(args) -> dict:
         extract=args.extract,
         salt_buckets=args.salt_buckets,
         compact_every=args.compact_every,
+        **kwargs,
     )
     return {"table": args.table, "version": t.current_version(), **counters}
 
@@ -131,7 +170,10 @@ def cmd_changes(args) -> dict:
     df = t.changes(args.since, until_version=args.until)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
-        return {"table": args.table, "since": args.since, "out": args.out, "rows": spark.read.parquet(args.out).count()}
+        rows = _parquet_footer_rows(args.out)
+        if rows is None:  # non-local / unreadable footers: fall back to a scan
+            rows = spark.read.parquet(args.out).count()
+        return {"table": args.table, "since": args.since, "out": args.out, "rows": rows}
     return {"table": args.table, "since": args.since, "rows": df.count()}
 
 
@@ -181,6 +223,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--max-files", type=int, default=None, help="maxFilesPerTrigger (micro-batch size)")
     p.add_argument("--extract", choices=["winners", "eager", "none"], default="winners")
+    p.add_argument(
+        "--schema", default=None,
+        help="name:type,... of the change stream incl. the op/epoch/offset envelope (default: the built-in CDC schema)",
+    )
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--compact-every", type=int, default=0)
     p.set_defaults(fn=cmd_replay)

@@ -29,9 +29,19 @@ from xml.sax.saxutils import escape
 from pyspark.sql import DataFrame, functions as F
 
 
+_DAYS = ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
 def _fmt_ts(v) -> str:
-    """RFC 822-ish timestamp like feedgenerator's (UTC, stable)."""
-    return v.strftime("%a, %d %b %Y %H:%M:%S +0000")
+    """RFC 822 timestamp like feedgenerator's (UTC, stable). Day/month
+    names come from explicit English tables, not strftime's %a/%b —
+    those are locale-dependent, which would break both RFC 822 validity
+    and the module's byte-identity guarantee under e.g. LC_TIME=de_DE."""
+    return (
+        f"{_DAYS[v.weekday()]}, {v.day:02d} {_MONTHS[v.month - 1]} {v.year:04d} "
+        f"{v.hour:02d}:{v.minute:02d}:{v.second:02d} +0000"
+    )
 
 
 def render_rss(items: list[dict], title: str, link: str, description: str) -> str:
@@ -63,6 +73,17 @@ def render_rss(items: list[dict], title: str, link: str, description: str) -> st
         )
     out.extend(["</channel>", "</rss>", ""])
     return "\n".join(out)
+
+
+def _safe_name(group_value: str) -> str:
+    """Filename-safe rendering of a group value: anything outside
+    [A-Za-z0-9._-] maps to '_' (and a leading '.' too, so '..' cannot
+    escape the feed directory). Group values are low-cardinality codes by
+    contract, so collisions after mapping are a caller bug, not a hazard."""
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", group_value) or "_"
+    return "_" + safe[1:] if safe.startswith(".") else safe
 
 
 def write_feed(xml: str, path: str) -> None:
@@ -120,6 +141,8 @@ def publish_change_feeds(
         )
         by_group: dict[str, list[dict]] = {}
         for r in per.collect():
+            if r[group_col] is None:
+                continue  # no feed identity; the flip still reaches global.xml
             by_group.setdefault(str(r[group_col]), []).append(
                 {"key": r[key_col], "ts": r[ts_col], "blocked": r[blocked_col]}
             )
@@ -127,7 +150,7 @@ def publish_change_feeds(
             # deterministic total order: key asc, then STABLE ts desc
             gitems = sorted(by_group[g], key=lambda i: str(i["key"]))
             gitems.sort(key=lambda i: i["ts"], reverse=True)
-            path = os.path.join(out_dir, f"by-{group_col}", f"{g}.xml")
+            path = os.path.join(out_dir, f"by-{group_col}", f"{_safe_name(g)}.xml")
             write_feed(render_rss(gitems, f"{title} — {group_col}={g}", link, description), path)
             written[path] = len(gitems)
     return written

@@ -35,27 +35,35 @@ def _batch_source_files(checkpoint: str, batch_id: int) -> list | None:
     """The micro-batch's input files, from the file-stream source's
     checkpoint log (``<ckpt>/sources/0/<batchId>`` — one JSON line per
     file; ``batch_df.inputFiles()`` is empty inside foreachBatch, the
-    micro-batch plan is not a file relation). None when the log is
-    unreadable (e.g. a DFS checkpoint path this process can't open)."""
+    micro-batch plan is not a file relation). Every ``compactInterval``-th
+    batch (default 10) is instead written as ``<batchId>.compact`` holding
+    ALL entries so far, each tagged with its ``batchId`` — filter to this
+    batch's, or the row-bound gate silently loses the fast path on ~10%
+    of micro-batches. None when the log is unreadable (e.g. a DFS
+    checkpoint path this process can't open)."""
+    import json
     import os
 
-    path = os.path.join(checkpoint, "sources", "0", str(batch_id))
-    try:
-        with open(path) as f:
-            lines = f.read().splitlines()
-    except OSError:
-        return None
-    files = []
-    for ln in lines:
-        if not ln.startswith("{"):
-            continue  # version header ("v1")
+    base = os.path.join(checkpoint, "sources", "0", str(batch_id))
+    for path, compacted in ((base, False), (base + ".compact", True)):
         try:
-            import json
-
-            files.append(json.loads(ln)["path"])
-        except (ValueError, KeyError):
-            return None
-    return files or None
+            with open(path) as f:
+                lines = f.read().splitlines()
+        except OSError:
+            continue
+        files = []
+        for ln in lines:
+            if not ln.startswith("{"):
+                continue  # version header ("v1")
+            try:
+                entry = json.loads(ln)
+                if compacted and entry.get("batchId") != batch_id:
+                    continue
+                files.append(entry["path"])
+            except (ValueError, KeyError):
+                return None
+        return files or None
+    return None
 
 
 def _footer_row_count(files: list) -> int | None:

@@ -72,3 +72,21 @@ def test_batch_source_files_reads_checkpoint_log(tmp_path):
     ]
     assert _batch_source_files(str(tmp_path / "ck"), 99) is None
     assert _batch_source_files("/nonexistent", 0) is None
+
+
+def test_batch_source_files_reads_compacted_log(tmp_path):
+    """Every compactInterval-th batch is stored as <id>.compact holding ALL
+    entries so far — only this batch's (by batchId) are its input files."""
+    from pipeline_spark.streaming.replay import _batch_source_files
+
+    d = tmp_path / "ck" / "sources" / "0"
+    d.mkdir(parents=True)
+    (d / "9.compact").write_text(
+        'v1\n{"path":"file:///tmp/old.parquet","timestamp":1,"batchId":3}\n'
+        '{"path":"file:///tmp/new.parquet","timestamp":2,"batchId":9}\n'
+    )
+    assert _batch_source_files(str(tmp_path / "ck"), 9) == ["file:///tmp/new.parquet"]
+    # a compact file whose entries all belong to other batches → None
+    # (unknown), never [] (the caller treats unknown as "must size-gate")
+    (d / "5.compact").write_text('v1\n{"path":"file:///tmp/x.parquet","timestamp":1,"batchId":2}\n')
+    assert _batch_source_files(str(tmp_path / "ck"), 5) is None

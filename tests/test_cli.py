@@ -111,6 +111,58 @@ def test_cli_replay_is_fenced_across_invocations(spark, capsys, stream, work):
     assert out["batches"] == 0 and out["batches_skipped"] > 0
 
 
+def test_parse_schema_handles_parameterized_types():
+    """Top-level-comma split only: decimal(10,2), map<string,int>,
+    struct<a:int,b:string> must pass through to Spark intact."""
+    got = cli._parse_schema("price:decimal(10,2),tags:map<string,int>,s:struct<a:int,b:string>,url:string")
+    assert got == [
+        ("price", "decimal(10,2)"),
+        ("tags", "map<string,int>"),
+        ("s", "struct<a:int,b:string>"),
+        ("url", "string"),
+    ]
+
+
+def test_cli_replay_custom_schema_table(spark, capsys, work, tmp_path_factory):
+    """A custom-schema table must be replayable through the CLI: without
+    --schema the stream would be read with the default CDC DDL, the real
+    key/version columns would surface as NULL, and merge's discard filter
+    would silently drop every row while the command reports success."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("custom_stream")
+    pd.DataFrame(
+        {
+            # user columns + the CDC envelope (op/epoch/offset) every
+            # change stream carries by contract
+            "op": ["I", "I", "U"],
+            "k": ["a", "b", "a"],
+            "ver": [1, 1, 2],
+            "price": [1.0, 2.0, 3.0],
+            "epoch": [0, 0, 0],
+            "offset": [0, 1, 2],
+        }
+    ).to_parquet(str(d / "c0.parquet"))
+
+    table = os.path.join(work, "custom")
+    run_cli(
+        capsys, "create", "--table", table,
+        "--schema", "k:string,ver:bigint,price:double",
+        "--key", "k", "--version-col", "ver",
+    )
+    out = run_cli(
+        capsys, "replay", "--stream", str(d), "--table", table,
+        "--checkpoint", os.path.join(work, "ck_custom"),
+        "--schema", "op:string,k:string,ver:bigint,price:double,epoch:bigint,offset:bigint",
+        "--extract", "none",
+    )
+    assert out["rows_in"] == 3
+    from pipeline_spark.lake import LakeTable
+
+    state = {r["k"]: r["price"] for r in LakeTable(spark, table).read().collect()}
+    assert state == {"a": 3.0, "b": 2.0}
+
+
 def test_cli_bad_schema_is_a_clean_error(spark, capsys, work):
     with pytest.raises(SystemExit):
         run_cli(capsys, "create", "--table", os.path.join(work, "x"), "--schema", "nope")

@@ -72,6 +72,35 @@ def test_feed_max_items_cut_is_distributed_topk(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_fmt_ts_is_rfc822_and_locale_independent():
+    """Day/month names come from explicit English tables — strftime's
+    %a/%b are locale-dependent, which would break RFC 822 validity and
+    byte-identity under e.g. LC_TIME=de_DE."""
+    from pipeline_spark.operators.feeds import _fmt_ts
+
+    assert _fmt_ts(datetime(2024, 1, 1, 9, 5, 3)) == "Mon, 01 Jan 2024 09:05:03 +0000"
+    assert _fmt_ts(datetime(2023, 12, 31, 23, 59, 59)) == "Sun, 31 Dec 2023 23:59:59 +0000"
+
+
+def test_group_values_cannot_escape_feed_dir(spark, tmp_path):
+    """A hostile/odd group value ('../..', slashes, NULL) must map to a
+    file INSIDE out_dir/by-<col>/, never traverse out or nest dirs."""
+    rows = []
+    for cc in ("../evil", "a/b", None):
+        for i in range(20):
+            rows.append((f"k_{cc}", cc, T0 + timedelta(hours=i), 0.9 if i >= 10 else 0.0, i))
+    df = spark.createDataFrame(rows, "key string, cc string, ts timestamp, value double, event_id long")
+    changes = detect_changes_batch(df, ["key", "cc"], tiebreak_col="event_id")
+    out = publish_change_feeds(changes, str(tmp_path), group_col="cc")
+    by_cc = tmp_path / "by-cc"
+    for p in out:
+        if "by-cc" in p:
+            assert os.path.dirname(os.path.abspath(p)) == str(by_cc.resolve())
+    # every written grouped feed is a direct child — nothing escaped
+    assert not (tmp_path.parent / "evil.xml").exists()
+    assert sorted(f.name for f in by_cc.iterdir()) == ["_._evil.xml", "a_b.xml"]
+
+
 def test_write_feed_is_atomic(tmp_path):
     p = str(tmp_path / "feed.xml")
     write_feed(render_rss([], "t", "l", "d"), p)

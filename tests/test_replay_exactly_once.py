@@ -195,6 +195,52 @@ def test_replay_row_bound_gates_winner_broadcast(spark, tmp_path, monkeypatch):
     assert captured == ["auto"]
 
 
+def test_row_bound_gate_survives_source_log_compaction(spark, tmp_path):
+    """Spark rewrites every compactInterval-th source-log batch as
+    <id>.compact (all entries so far, each tagged with its batchId).
+    The row-bound gate must still resolve THOSE batches' files — or the
+    broadcast fast path silently degrades to the size-gate count job on
+    ~10% of micro-batches of any long replay (default interval 10)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pipeline_spark.streaming.replay as replay_mod
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({"id": [i], "version": [i]}), str(src / f"{i}.parquet"))
+
+    captured = []
+
+    class FakeTable:
+        def merge(self, batch_df, **kw):
+            captured.append(kw["broadcast_winners"])
+            return {"rows_in": batch_df.count()}
+
+    ckpt = str(tmp_path / "cck")
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    try:
+        replay_stream(
+            spark, str(src), FakeTable(), ckpt,
+            schema_ddl="id bigint, version bigint", max_files_per_trigger=1,
+            extract="none",
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
+
+    # interval 2 ⇒ batches 1 and 3 were written as .compact — prove the
+    # test exercised the compacted format, then that every batch (plain
+    # AND compacted) resolved its single file and kept the fast path
+    assert os.path.exists(os.path.join(ckpt, "sources", "0", "1.compact"))
+    for b in range(4):
+        files = replay_mod._batch_source_files(ckpt, b)
+        assert files is not None and len(files) == 1, f"batch {b}: {files}"
+    assert captured == [True, True, True, True]
+
+
 def test_eager_extraction_replay_matches_oracle(spark, tmp_path, stream_dir, expected):
     """extract="eager" (per-event extraction before the merge — the
     transform-dominant bench profile) must land the SAME final state as
