@@ -568,21 +568,34 @@ def _scaling_summary(cache: dict) -> dict:
     only needs the verdict per pair; every raw attempt stays disclosed in
     BENCH/scaling_<events>ev.json and BENCH/BASELINE.md.
     """
+    lo_band, hi_band = MEM_CONTROL_CERT_BAND
     pairs = []
     for p in cache.get("pairs", []):
-        pairs.append(
-            {
-                "parallelism_low": p["parallelism_low"],
-                "parallelism_high": p["parallelism_high"],
-                "seconds_low": p["seconds_low"],
-                "seconds_high": p["seconds_high"],
-                "primary_efficiency": p.get("primary_efficiency"),
-                "best_of_mins_efficiency": p.get("scaling_efficiency"),
-                "host_cpu_control_efficiency": p.get("host_cpu_control_efficiency"),
-                "host_mem_control_efficiency": p.get("host_mem_control_efficiency"),
-                "extract_stage_efficiency": p.get("extract_stage_efficiency"),
-            }
-        )
+        key = f"{p['parallelism_low']}:{p['parallelism_high']}"
+        wp = cache.get("window_pairs", {}).get(key, [])
+        mems = cache.get("window_pair_mem_controls", {}).get(key, [])
+        certified = [
+            round((t_lo / t_hi) / (p["parallelism_high"] / p["parallelism_low"]), 3)
+            for (t_lo, t_hi), m in zip(wp, mems)
+            if m is not None and lo_band <= m <= hi_band
+        ]
+        rec = {
+            "parallelism_low": p["parallelism_low"],
+            "parallelism_high": p["parallelism_high"],
+            "seconds_low": p["seconds_low"],
+            "seconds_high": p["seconds_high"],
+            "primary_efficiency": p.get("primary_efficiency"),
+            "best_of_mins_efficiency": p.get("scaling_efficiency"),
+            "host_cpu_control_efficiency": p.get("host_cpu_control_efficiency"),
+            "host_mem_control_efficiency": p.get("host_mem_control_efficiency"),
+            "extract_stage_efficiency": p.get("extract_stage_efficiency"),
+        }
+        # best pair whose same-window mem control sat inside
+        # MEM_CONTROL_CERT_BAND; key OMITTED (not null) until a quiet
+        # window lands — the driver line has a hard byte budget
+        if certified:
+            rec["best_certified_pair_efficiency"] = max(certified)
+        pairs.append(rec)
     return {
         "events": cache.get("events"),
         "sf": cache.get("sf"),
@@ -621,16 +634,17 @@ def _other_profile_summaries() -> list:
     for _path, cache in _profile_snapshots():
         if cache.get("events") == headline_events and cache.get("sf") == HEADLINE_PROFILE["sf"]:
             continue  # the headline cache is already in out["scaling"]
-        for p in cache.get("pairs", []):
-            out.append(
-                {
-                    "events": cache.get("events"),
-                    "sf": cache.get("sf"),
-                    "pair": f"{p['parallelism_low']}->{p['parallelism_high']}",
-                    "primary_efficiency": p.get("primary_efficiency"),
-                    "host_cpu_control_efficiency": p.get("host_cpu_control_efficiency"),
-                }
-            )
+        for p in _scaling_summary(cache)["pairs"]:
+            rec = {
+                "events": cache.get("events"),
+                "sf": cache.get("sf"),
+                "pair": f"{p['parallelism_low']}->{p['parallelism_high']}",
+                "primary_efficiency": p.get("primary_efficiency"),
+                "host_cpu_control_efficiency": p.get("host_cpu_control_efficiency"),
+            }
+            if "best_certified_pair_efficiency" in p:
+                rec["best_certified_pair_efficiency"] = p["best_certified_pair_efficiency"]
+            out.append(rec)
     return out
 
 

@@ -26,10 +26,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events_n(sf_dir: str) -> int:
-    """max(event_id)+1 for the events table. event_id is dense 0..n-1 in
-    the driver testdata, so this is the parquet footer row count — zero
-    Spark jobs, replacing the per-query ``agg(max).collect()`` driver hop
-    (round-5 cleanup: no .collect() in catalog query bodies)."""
+    """max(event_id)+1 for the events table, from parquet footer COLUMN
+    STATISTICS — zero Spark jobs, replacing the per-query
+    ``agg(max).collect()`` driver hop (round-5 cleanup: no .collect() in
+    catalog query bodies). Reading the stats max (not the row count)
+    keeps the chunk split correct even if event_id ever has gaps; the
+    row-count sum is only the fallback for a stats-less writer, where the
+    dense-0..n-1 testdata contract still holds."""
     import glob
     import os
 
@@ -37,7 +40,23 @@ def _events_n(sf_dir: str) -> int:
 
     p = os.path.join(sf_dir, "events.parquet")
     files = [p] if os.path.isfile(p) else sorted(glob.glob(os.path.join(p, "*.parquet")))
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    max_id, rows = None, 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("event_id")
+        if idx is None:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                max_id = None
+                break
+            max_id = st.max if max_id is None else max(max_id, st.max)
+        else:
+            continue
+        break
+    return rows if max_id is None else int(max_id) + 1
 
 
 _WORK_DIRS: list[str] = []

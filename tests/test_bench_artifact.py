@@ -93,7 +93,25 @@ def test_live_driver_line_fits_tail_capture():
 def test_other_profiles_come_from_checked_in_snapshots():
     for rec in bench._other_profile_summaries():
         assert rec["events"] != bench.HEADLINE_PROFILE["events"] or rec["sf"] != bench.HEADLINE_PROFILE["sf"]
-        assert set(rec) == {"events", "sf", "pair", "primary_efficiency", "host_cpu_control_efficiency"}
+        required = {"events", "sf", "pair", "primary_efficiency", "host_cpu_control_efficiency"}
+        # certified field is OMITTED unless a quiet window landed (byte budget)
+        assert set(rec) - {"best_certified_pair_efficiency"} == required
+
+
+def test_summary_certified_field_respects_the_band():
+    """best_certified_pair_efficiency = best window pair whose same-window
+    mem control lies INSIDE MEM_CONTROL_CERT_BAND: sub-band (contended)
+    and super-band (inconsistent — the low leg itself was degraded)
+    controls certify nothing."""
+    cache = _fake_cache()
+    cache["window_pairs"] = {"8:32": [[100.0, 30.0], [120.0, 40.0], [110.0, 28.0], [100.0, 26.0]]}
+    cache["window_pair_mem_controls"] = {"8:32": [0.5, 0.95, 1.681, None]}
+    s = bench._scaling_summary(cache)
+    by = {(p["parallelism_low"], p["parallelism_high"]): p for p in s["pairs"]}
+    # only the 0.95-control pair is in-band: (120/40)/4 = 0.75
+    assert by[(8, 32)]["best_certified_pair_efficiency"] == 0.75
+    # no attribution at all → key omitted (driver-line byte budget), never a guess
+    assert "best_certified_pair_efficiency" not in by[(2, 8)]
 
 
 def test_prediction_validation_section_discloses_every_pair():

@@ -37,6 +37,18 @@ def test_workdir_registers_for_exit_cleanup():
     assert d in catalog._WORK_DIRS
 
 
+def test_events_n_uses_stats_max_not_row_count(tmp_path):
+    """_events_n must return max(event_id)+1 from footer column stats —
+    row-count-as-max silently drops trailing events when ids have gaps."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"event_id": [0, 1, 5, 9], "x": [1, 2, 3, 4]}),
+        str(d / "events.parquet"),
+    )
+    assert catalog._events_n(str(d)) == 10  # not 4 (the row count)
+
+
 def test_footer_row_count_exact(tmp_path):
     p1 = str(tmp_path / "a.parquet")
     p2 = str(tmp_path / "b.parquet")
