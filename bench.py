@@ -831,11 +831,25 @@ def _prediction_validation_section() -> str:
         floors32 = min(t for _, t in wp)
         if quiet:
             best_eff, best_m = max(quiet)
+            met = best_eff >= implied - 0.1
             verdict = (
                 f"**Measured {best_eff:.3f} in a control-certified window (mem control "
-                f"{best_m}, inside the band [{lo_band}, {hi_band}]) vs {implied:.2f} "
-                f"implied** — the out-of-sample prediction made by the fit before this "
-                f"profile was measured."
+                f"{best_m}, inside the band [{lo_band}, {hi_band}]; {len(quiet)} certified "
+                f"pair(s)) vs {implied:.2f} implied** — the out-of-sample prediction made "
+                f"by the fit before this profile was measured"
+                + (
+                    " — the prediction holds."
+                    if met
+                    else (
+                        f" — **the prediction is NOT met in the certified window(s)**. "
+                        f"The 8-core leg tracks the fit ({floors8:.1f}s floor vs {t8p:.0f}s "
+                        f"predicted); the miss is entirely the 32-core leg ({floors32:.1f}s "
+                        f"floor vs {t32p:.0f}s predicted), whose per-leg throughput FALLS "
+                        f"with backlog while the 8-core leg rises — a backlog-dependent "
+                        f"32-core ceiling the s + w/N form cannot express. Analysis and "
+                        f"follow-up: BENCH/experiments/r5_4m_window_notes.md."
+                    )
+                )
             )
         else:
             run_mems = next(
