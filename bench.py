@@ -395,14 +395,23 @@ def main() -> None:
         window_pair_mem: dict[str, list] = (
             dict(prev.get("window_pair_mem_controls", {})) if prev else {}
         )
+        # DRAM-streaming control (round 5, additive): same per-pair
+        # attribution as the cached-body control; pre-existing pairs pad
+        # with None. Certification stays on the cached-body control.
+        window_pair_stream: dict[str, list] = (
+            dict(prev.get("window_pair_stream_controls", {})) if prev else {}
+        )
         for key, wp in window_pairs.items():
             got = list(window_pair_mem.get(key, []))
             window_pair_mem[key] = got + [None] * (len(wp) - len(got))
+            got_s = list(window_pair_stream.get(key, []))
+            window_pair_stream[key] = got_s + [None] * (len(wp) - len(got_s))
         # per-repeat mem controls: the ratio must pair measurements from
         # ONE repeat's window (max-of-each-level across repeats would
         # reintroduce exactly the cross-window fragility the same-repeat
         # estimator exists to avoid)
         mem_control_reps: dict[int, list[float]] = {k: [] for k in levels}
+        stream_control_reps: dict[int, list[float]] = {k: [] for k in levels}
         for r in range(repeats):
             this_repeat: dict[int, float] = {}
             for k in levels:
@@ -412,6 +421,7 @@ def main() -> None:
                 results[k] = min(results.get(k, 1e18), t)
                 control[k] = max(control.get(k, 0.0), _cpu_spin_control(k))
                 mem_control_reps[k].append(_mem_regex_control(k))
+                stream_control_reps[k].append(_mem_stream_control(k))
                 if r == 0:
                     p = subprocess.run(
                         [sys.executable, os.path.abspath(__file__), "--extract-stage-only", "--cpus", str(k)],
@@ -429,6 +439,10 @@ def main() -> None:
                     window_pair_mem.setdefault(f"{lo}:{hi}", []).append(
                         round((m_hi / m_lo) / (hi / lo), 3) if m_lo > 0 else None
                     )
+                    s_lo, s_hi = stream_control_reps[lo][-1], stream_control_reps[hi][-1]
+                    window_pair_stream.setdefault(f"{lo}:{hi}", []).append(
+                        round((s_hi / s_lo) / (hi / lo), 3) if s_lo > 0 else None
+                    )
         # extract-stage times merge across runs like replay attempts do
         for k in attempts:
             if extract_attempts.get(k):
@@ -443,6 +457,7 @@ def main() -> None:
             "extract_attempts_sec": {str(k): v for k, v in extract_attempts.items()},
             "window_pairs": window_pairs,
             "window_pair_mem_controls": window_pair_mem,
+            "window_pair_stream_controls": window_pair_stream,
             "pairs": [],
         }
         prev_pairs = {
@@ -682,12 +697,62 @@ def _mem_regex_control(n: int, per_proc: int = 400) -> float:
     is register-only and BLIND to memory-bus contention (round-4
     finding) — this control moves real bytes through the same regex
     kernel the workload runs, so its N→4N ratio bounds what a
-    memory-heavy stage could measure in the same window."""
+    memory-heavy stage could measure in the same window.
+
+    Caveat (round-5 finding): the 200-body pool here is ~1.5 MB per
+    process and stays CACHE-RESIDENT, so this control certifies the
+    absence of EXTERNAL memory-bus load but overstates the host's
+    ceiling for work that STREAMS distinct data through DRAM the way
+    the real extract stage does — see _mem_stream_control."""
     import multiprocessing as mp
 
     t0 = time.monotonic()
     with mp.Pool(n, initializer=_mem_body_init) as p:
         p.map(_mem_work, [per_proc] * n)
+    return n * per_proc / (time.monotonic() - t0)
+
+
+_STREAM_BODIES = None
+
+
+def _stream_body_init():
+    global _STREAM_BODIES
+    from pipeline_spark.datagen import StreamSpec, generate_epoch
+
+    # ~30 MB of DISTINCT bodies per process: far beyond any per-core L3
+    # share at 32 procs, so every body is a cold DRAM read like the real
+    # 4M-event stream (the 200-body cached pool above never leaves L2/L3)
+    spec = StreamSpec(n_events=4_200, n_urls=1_050, n_epochs=1, body_paras=50)
+    _STREAM_BODIES = [b for b in generate_epoch(spec, 0)["html"].tolist() if b is not None][:4_000]
+
+
+def _stream_work(n_iter: int) -> int:
+    from pipeline_spark.extraction import extract_text_py
+
+    total = 0
+    for i in range(n_iter):
+        total += len(extract_text_py(_STREAM_BODIES[i % len(_STREAM_BODIES)]))
+    return total
+
+
+def _mem_stream_control(n: int, per_proc: int = 1_500) -> float:
+    """DRAM-streaming host control (round 5, additive): the same regex
+    kernel over a 30 MB-per-process DISTINCT body pool (bodies/sec).
+
+    Measured on this box (three interleaved reps, steal≈0): 8→32 scales
+    0.62-0.82 (~0.73) while the cache-resident control reads 0.92+ in
+    the same windows — the memory system itself rolls off past ~8
+    streaming cores. THIS ratio, not the cached control, is the honest
+    single-box ceiling for the extract-dominant replay; on a real
+    cluster each node brings its own memory system, so the rolloff is a
+    shared-box artifact, not a property of the plan. Recorded per pair
+    in window_pair_stream_controls; certification semantics (the
+    pre-registered band on the cached-body control) are unchanged."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    with mp.Pool(n, initializer=_stream_body_init) as p:
+        p.map(_stream_work, [per_proc] * n)
     return n * per_proc / (time.monotonic() - t0)
 
 
@@ -813,12 +878,16 @@ def _prediction_validation_section() -> str:
             continue
         mems = cache.get("window_pair_mem_controls", {}).get("8:32", [])
         mems = mems + [None] * (len(wp) - len(mems))
+        streams = cache.get("window_pair_stream_controls", {}).get("8:32", [])
+        streams = streams + [None] * (len(wp) - len(streams))
         t8p = big["s"] + we * ev / 8
         t32p = big["s"] + we * ev / 32
         implied = t8p / t32p / 4
         rows = "\n".join(
-            f"| {t8:.1f}s → {t32:.1f}s | {(t8 / t32) / 4:.3f} | {m if m is not None else '— (pre-attribution run)'} |"
-            for (t8, t32), m in zip(wp, mems)
+            f"| {t8:.1f}s → {t32:.1f}s | {(t8 / t32) / 4:.3f} | "
+            f"{m if m is not None else '— (pre-attribution run)'} | "
+            f"{s if s is not None else '—'} |"
+            for (t8, t32), m, s in zip(wp, mems, streams)
         )
         lo_band, hi_band = MEM_CONTROL_CERT_BAND
         quiet = [
@@ -844,10 +913,17 @@ def _prediction_validation_section() -> str:
                         f" — **the prediction is NOT met in the certified window(s)**. "
                         f"The 8-core leg tracks the fit ({floors8:.1f}s floor vs {t8p:.0f}s "
                         f"predicted); the miss is entirely the 32-core leg ({floors32:.1f}s "
-                        f"floor vs {t32p:.0f}s predicted), whose per-leg throughput FALLS "
-                        f"with backlog while the 8-core leg rises — a backlog-dependent "
-                        f"32-core ceiling the s + w/N form cannot express. Analysis and "
-                        f"follow-up: BENCH/experiments/r5_4m_window_notes.md."
+                        f"floor vs {t32p:.0f}s predicted). Attribution (steal-free window, "
+                        f"/proc-audited — BENCH/experiments/extract_cpu_audit.py): the "
+                        f"extraction kernel itself under plain multiprocessing on "
+                        f"DRAM-cold distinct bodies scales only 0.62-0.82 (~0.73) at "
+                        f"8→32 on this box — the cache-resident mem control (0.92+) "
+                        f"overstates the streaming ceiling — and the Spark stage "
+                        f"reaches ~60% of even that (Python workers 64% duty cycle, "
+                        f"JVM feed share doubles at 32 cores). Both are single-box "
+                        f"memory-system artifacts; a real 4× cluster brings 4× memory "
+                        f"systems. Full analysis: "
+                        f"BENCH/experiments/r5_4m_window_notes.md."
                     )
                 )
             )
@@ -892,8 +968,8 @@ The fit above (from the 1M/2M floors alone) implies quiet eff(8→32) ≈
 **{implied:.2f}** at {ev:,} events (predicted floors {t8p:.0f}s → {t32p:.0f}s).
 Measured 8→32 window pairs at that backlog, appended uncurated:
 
-| T_8 → T_32 | pair eff. | same-window mem control |
-|---|---|---|
+| T_8 → T_32 | pair eff. | same-window mem control | stream control |
+|---|---|---|---|
 {rows}
 
 {verdict}
