@@ -29,7 +29,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
-EVENTS = 4_000_000
+# default 4M (the fit's out-of-sample validation profile); HUNT_EVENTS
+# lets the same probe-gated protocol target other profiles (e.g. 2M)
+EVENTS = int(os.environ.get("HUNT_EVENTS", 4_000_000))
 
 
 def _cache_path() -> str:
@@ -65,11 +67,19 @@ def certified() -> float | None:
         return None
     pairs = cache.get("window_pairs", {}).get("8:32", [])
     mems = cache.get("window_pair_mem_controls", {}).get("8:32", [])
-    for (t8, t32), m in zip(pairs, mems):
+    streams = cache.get("window_pair_stream_controls", {}).get("8:32", [])
+    streams = streams + [None] * (len(pairs) - len(streams))
+    require_stream = bool(os.environ.get("HUNT_REQUIRE_STREAM"))
+    for (t8, t32), m, s in zip(pairs, mems, streams):
         # inside the band only: a superlinear control means the 8-proc leg
         # itself was degraded — an inconsistent window certifies nothing
         # (this exit fired wrongly on a 1.681 control before the band)
         if m is not None and lo <= m <= hi:
+            # HUNT_REQUIRE_STREAM=1: keep hunting until a certified pair
+            # also carries the DRAM-streaming control (round-5 attribution
+            # field) — pre-attribution certified pairs don't satisfy it
+            if require_stream and s is None:
+                continue
             return round((t8 / t32) / 4, 3)
     return None
 
