@@ -52,7 +52,12 @@ def _cache_path() -> str:
         int(os.environ.get("SPARK_GRAFT_BENCH_MAX_FILES", "8")),
     )
 
-PROBE_GATE = 0.85  # launch threshold for the pre-run probe (the run's own paired control decides certification)
+# launch band for the pre-run probe (the run's own paired control decides
+# certification). Bounded ABOVE too: a superlinear probe means the probe's
+# own 8-proc leg was contended — an inconsistent window; two early runs
+# launched off 1.19/1.29 probes and landed 0.18-0.27 paired controls.
+PROBE_GATE = 0.85
+PROBE_CEIL = 1.2
 PROBE_EVERY_S = 150
 DEADLINE_S = float(os.environ.get("HUNT_DEADLINE_S", 9000))
 
@@ -102,8 +107,8 @@ def main() -> None:
             log(f"DONE: control-certified 8->32 pair at 4M, eff={eff}")
             return
         p = probe()
-        log(f"probe mem-control eff {p:.3f} (gate {PROBE_GATE})")
-        if p >= PROBE_GATE:
+        log(f"probe mem-control eff {p:.3f} (gate [{PROBE_GATE}, {PROBE_CEIL}])")
+        if PROBE_GATE <= p <= PROBE_CEIL:
             runs += 1
             log(f"window looks quiet -> launching pair-scoped 4M run #{runs}")
             env = {
