@@ -891,16 +891,28 @@ def _prediction_validation_section() -> str:
         )
         lo_band, hi_band = MEM_CONTROL_CERT_BAND
         quiet = [
-            ((t8 / t32) / 4, m)
-            for (t8, t32), m in zip(wp, mems)
+            ((t8 / t32) / 4, m, s)
+            for (t8, t32), m, s in zip(wp, mems, streams)
             if m is not None and lo_band <= m <= hi_band
         ]
         over_band = [m for m in mems if m is not None and m > hi_band]
         floors8 = min(t for t, _ in wp)
         floors32 = min(t for _, t in wp)
         if quiet:
-            best_eff, best_m = max(quiet)
+            best_eff, best_m, best_s = max(quiet)
             met = best_eff >= implied - 0.1
+            # a certified pair measured after the DRAM-streaming control
+            # landed carries its OWN in-window ceiling — cite it instead
+            # of only the cross-referenced audit range
+            stream_note = (
+                f" The best certified pair's own same-window DRAM-streaming "
+                f"control was {best_s} — the honest single-box ceiling for "
+                f"this extract-dominant stage in that window; the measured "
+                f"{best_eff:.3f} is the Spark stage reaching "
+                f"~{best_eff / best_s:.0%} of it."
+                if best_s is not None
+                else ""
+            )
             verdict = (
                 f"**Measured {best_eff:.3f} in a control-certified window (mem control "
                 f"{best_m}, inside the band [{lo_band}, {hi_band}]; {len(quiet)} certified "
@@ -922,7 +934,7 @@ def _prediction_validation_section() -> str:
                         f"reaches ~60% of even that (Python workers 64% duty cycle, "
                         f"JVM feed share doubles at 32 cores). Both are single-box "
                         f"memory-system artifacts; a real 4× cluster brings 4× memory "
-                        f"systems. Full analysis: "
+                        f"systems.{stream_note} Full analysis: "
                         f"BENCH/experiments/r5_4m_window_notes.md."
                     )
                 )
