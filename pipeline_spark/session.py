@@ -70,11 +70,38 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # free-form conf passthrough for profiling/deploy A/Bs without code
+    # edits: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" (explicit extra_conf from
+    # the caller still wins — it is applied last). Measured use case:
+    # spark.sql.execution.python.udf.buffer.size=2097152 runs map-only
+    # Arrow-UDF stages ~2.2x faster at slots==cores (the 64 KB default
+    # pipe serializes the JVM feed with the Python kernel; see
+    # BENCH/experiments/pybuffer_extract.py) — fused merge stages are
+    # shuffle/write-bound and don't reliably benefit, so it is a knob,
+    # not a default.
+    for k, v in parse_extra_conf(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")).items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def parse_extra_conf(spec: str) -> dict[str, str]:
+    """Parse a ``k=v;k2=v2`` conf spec (SPARK_GRAFT_EXTRA_CONF).
+
+    Empty segments are skipped (trailing ``;`` is fine); values may
+    contain ``=`` (only the first one splits); segments without ``=``
+    are ignored rather than raising — a malformed profiling knob must
+    never take down a production session.
+    """
+    out: dict[str, str] = {}
+    for pair in filter(None, (p.strip() for p in spec.split(";"))):
+        k, eq, v = pair.partition("=")
+        if eq and k.strip():
+            out[k.strip()] = v.strip()
+    return out
 
 
 def _parallelism_of(master: str, default: int) -> int:

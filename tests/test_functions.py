@@ -127,3 +127,13 @@ def test_version_key_orders_like_tuples_property():
         assert (ka == kb) == (a == b)
 
     check()
+
+
+def test_parse_extra_conf_passthrough_spec():
+    from pipeline_spark.session import parse_extra_conf
+
+    assert parse_extra_conf("") == {}
+    assert parse_extra_conf("a=1") == {"a": "1"}
+    # trailing/duplicate separators, whitespace, '=' inside the value,
+    # and malformed segments (no '=' / empty key) are all tolerated
+    assert parse_extra_conf(" a = 1 ; b=x=y ;; c ; =z ;") == {"a": "1", "b": "x=y"}
