@@ -934,7 +934,12 @@ def _prediction_validation_section() -> str:
                         f"reaches ~60% of even that (Python workers 64% duty cycle, "
                         f"JVM feed share doubles at 32 cores). Both are single-box "
                         f"memory-system artifacts; a real 4× cluster brings 4× memory "
-                        f"systems.{stream_note} Full analysis: "
+                        f"systems.{stream_note} The feed-stall share is config-recoverable "
+                        f"on map-only stages (2.2× via a 2 MB python.udf.buffer — the "
+                        f"Spark stage then EXCEEDS the multiprocessing ceiling) but moves "
+                        f"neither leg of the fused replay at this backlog, out-of-sample "
+                        f"confirmation that the fused residual is the shared DRAM system, "
+                        f"not the engine. Full analysis: "
                         f"BENCH/experiments/r5_4m_window_notes.md."
                     )
                 )
