@@ -22,12 +22,16 @@ import sys
 
 
 def _spark(args, app: str):
-    from pipeline_spark.session import get_spark
+    from pipeline_spark.session import get_spark, parse_extra_conf
 
+    extra = {}
+    for spec in getattr(args, "conf", None) or []:
+        extra.update(parse_extra_conf(spec))
     return get_spark(
         f"cli_{app}",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        extra_conf=extra or None,
     )
 
 
@@ -205,6 +209,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="python -m pipeline_spark", description=__doc__.splitlines()[0])
     ap.add_argument("--master", default=None, help="Spark master (default: spark-submit's, or local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=None,
+        metavar="K=V[;K2=V2]",
+        help="extra Spark conf, repeatable (spark-submit parity); e.g. "
+        "--conf spark.sql.execution.python.udf.buffer.size=2097152 for "
+        "map-only transform jobs (see README slot-sizing guidance)",
+    )
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("create", help="create an empty lake table")

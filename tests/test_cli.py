@@ -181,3 +181,18 @@ def test_module_entry_point_subprocess(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["version"] == 0 and os.path.isdir(table)
+
+
+def test_cli_conf_flag_parses_and_merges():
+    from pipeline_spark.session import parse_extra_conf
+
+    ap = cli.build_parser()
+    args = ap.parse_args(
+        ["--conf", "spark.a=1", "--conf", "spark.b=2;spark.c=x=y", "fsck", "--table", "/t"]
+    )
+    merged = {}
+    for spec in args.conf or []:
+        merged.update(parse_extra_conf(spec))
+    assert merged == {"spark.a": "1", "spark.b": "2", "spark.c": "x=y"}
+    # absent flag stays falsy (no conf applied)
+    assert cli.build_parser().parse_args(["fsck", "--table", "/t"]).conf is None
