@@ -36,18 +36,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle). Built with
-    JVM array functions — no UDF."""
+def doc_shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT shingle set as ONE narrow projection:
+    (id, shset: array<string>). ``array_distinct`` of the per-row gram
+    array is equivalent to the global ``(id, shingle) DISTINCT`` whenever
+    ``id_col`` is unique in ``df`` (a doc's shingles all come from its own
+    row) — but it is a map-side expression, so the shingle relation costs
+    ZERO shuffles instead of one distinct Exchange per consumer (r6
+    optimization; the old explode→distinct shape put 26 Exchanges and 7
+    document scans in the minhash plan)."""
     w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
         lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col), F.array_distinct(grams).alias("shset"))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Built with
+    JVM array functions — no UDF, and (since r6) no shuffle: the per-row
+    ``array_distinct`` replaces the global DISTINCT (equivalent for a
+    unique ``id_col``, which every caller has)."""
+    base = doc_shingle_sets(df, text_col, id_col, n)
+    return base.select(F.col(id_col), F.explode("shset").alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -64,7 +78,11 @@ def ngram_jaccard_pairs(
     them here for verification.
     """
     sh = shingles(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # set size from the per-doc array — a narrow projection, not an
+    # exploded-row count (one Exchange fewer per side, r6)
+    sizes = doc_shingle_sets(df, text_col, id_col, n).select(
+        F.col(id_col), F.size("shset").cast("long").alias("sz")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -105,14 +123,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """K min-hash values per doc: h_i = min(hash(shingle || i)).
 
-    One explode + one groupBy with K min() aggregates — partial aggregation
-    keeps the shuffle at one row per (doc, K) regardless of doc length.
-    ``hash_basis="xxhash64"`` (default) is the fast JVM path;
+    K ``array_min(transform(shset, ...))`` expressions over the per-doc
+    shingle set — one narrow projection, NO explode, NO groupBy, NO
+    shuffle (r6: the old explode + K-min-agg shape cost an Exchange and a
+    two-level HashAggregate per consumer; per-element hash work is
+    unchanged). ``hash_basis="xxhash64"`` (default) is the fast JVM path;
     ``"md5"`` trades ~2× hash cost for an exact DuckDB oracle twin.
+    Docs whose shingle set is empty get NULL signatures (they previously
+    vanished at the explode) — NULL band keys never match an equi-join,
+    so candidate generation is unaffected.
     """
-    sh = shingles(df, text_col, id_col, n)
-    aggs = [F.expr(f"min({_shingle_hash_sql('shingle', i, hash_basis)}) AS mh{i}") for i in range(k)]
-    return sh.groupBy(id_col).agg(*aggs)
+    base = doc_shingle_sets(df, text_col, id_col, n)
+    cols = [
+        F.expr(f"array_min(transform(shset, s -> {_shingle_hash_sql('s', i, hash_basis)})) AS mh{i}")
+        for i in range(k)
+    ]
+    return base.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -182,26 +208,33 @@ def minhash_dedup_pairs(
     checkpoint: str = "none",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates from banding, then exact
-    Jaccard computed ONLY for the candidate pairs (semi-join pruned) — the
-    verify cost is O(candidates × shingles), never O(docs²)."""
+    Jaccard computed ONLY for the candidate pairs — the verify cost is
+    O(candidates × shingles), never O(docs²).
+
+    The verify stage (r6) joins each candidate pair back to the two docs'
+    per-row shingle-set arrays and intersects them in place
+    (``size(array_intersect(a, b))`` — hash-set intersection, O(|a|+|b|)
+    per pair): identical counts to the old shingle-equality re-join +
+    groupBy, with two joins + one aggregation Exchange fewer, and only
+    ids ever cross a shuffle (the arrays stay where the docs are;
+    candidates are the small side — guide §8's move-keys-not-payloads
+    rule). The old 26-Exchange/7-scan plan shape also made the
+    fresh-session plan+codegen cost (~9 s, sf-invariant) dominate the
+    bench; this shape is 5 Exchanges / 3 scans."""
     sigs = minhash_signatures(df, bands * rows, text_col, id_col, n, hash_basis=hash_basis)
     cand = lsh_candidate_pairs(sigs, bands, rows, id_col, hash_basis=hash_basis, checkpoint=checkpoint)
 
-    sh = shingles(df, text_col, id_col, n)
+    base = doc_shingle_sets(df, text_col, id_col, n)
     if checkpoint == "lazy":
-        sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sh_b = sh.withColumnRenamed(id_col, "_jb").withColumnRenamed("shingle", "s_b")
-    inter = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingle", "s_a"), "id_a")
-        .join(sh_b, (F.col("id_b") == F.col("_jb")) & (F.col("s_a") == F.col("s_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        base = base.localCheckpoint(eager=False)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    sz_a, sz_b = F.size("sh_a").cast("long"), F.size("sh_b").cast("long")
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / (sz_a + sz_b - inter), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -25,9 +25,21 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return dot / (norm(a) * norm(b))
+
+
+def norm(a: Column) -> Column:
+    """L2 norm — the exact sub-expression :func:`cosine` uses, exposed so
+    pair-scoring paths can precompute it once per ROW before a join
+    instead of once per PAIR after it (higher-order array functions are
+    interpreted per element, not codegen'd: at k queries that is k× the
+    norm work on every corpus row — guide §2.3 shuffle/compute fewer
+    bytes early). Same fold, same order ⇒ bit-identical doubles."""
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 def brute_force_topk(
@@ -37,13 +49,22 @@ def brute_force_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query (excluding itself)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    """Exact top-k cosine neighbors for each query (excluding itself).
+
+    Norms are computed per ROW on each side before the cross-join (the
+    corpus norm otherwise re-evaluates per (query, corpus) pair — k× the
+    interpreted higher-order-function work); only the dot product is
+    per-pair. Same fold order as :func:`cosine` ⇒ identical doubles."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), norm(F.col(emb_col)).alias("q_nrm")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"), norm(F.col(emb_col)).alias("c_nrm")
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos_sim", _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -117,8 +138,9 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),  # once per corpus row, BEFORE the explode
         F.explode(c_entries).alias("tb"),
-    ).select("neighbor_id", "c_emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    ).select("neighbor_id", "c_emb", "c_nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
     def q_buckets(t: int, planes) -> list[Column]:
         base = bucket_ids(F.col(emb_col), planes)
@@ -131,14 +153,15 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
         F.explode(q_entries).alias("tb"),
-    ).select("query_id", "q_emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    ).select("query_id", "q_emb", "q_nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select("query_id", "neighbor_id", "q_emb", "q_nrm", "c_emb", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos_sim", _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -174,11 +197,11 @@ def embedding_near_dup_pairs(
     MinHash-LSH). Never run it on a real corpus.
     """
     if method == "exact":
-        a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+        a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"), norm(F.col(emb_col)).alias("n_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"), norm(F.col(emb_col)).alias("n_b"))
         return (
             a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim", cosine(F.col("e_a"), F.col("e_b")))
+            .withColumn("cos_sim", _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         )
@@ -195,18 +218,22 @@ def embedding_near_dup_pairs(
             for t, planes in enumerate(tables)
         ]
     )
-    keyed = df.select(F.col(id_col), F.col(emb_col), F.explode(entries).alias("tb")).select(
-        id_col, emb_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    keyed = df.select(
+        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("nrm"), F.explode(entries).alias("tb")
+    ).select(id_col, emb_col, "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a = keyed.select(
+        F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"), F.col("nrm").alias("n_a")
     )
-    a = keyed.select(F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
-    b = keyed.select(F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+    b = keyed.select(
+        F.col("tbl"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"), F.col("nrm").alias("n_b")
+    )
     cand = (
         a.join(b, ["tbl", "bucket"])  # equi-join per (table, bucket): linear, never a nested loop
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cos_sim", cosine(F.col("e_a"), F.col("e_b")))
+        cand.withColumn("cos_sim", _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -322,18 +349,20 @@ def ivf_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
         ivf_assign(F.col(emb_col), centroids).alias("cell"),
     )
     probes = F.slice(F.array_sort(_dist_idx_arr(F.col(emb_col), centroids)), 1, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
         F.explode(F.transform(probes, lambda s: s["idx"])).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos_sim", _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
