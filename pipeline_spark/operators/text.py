@@ -23,6 +23,12 @@ STOPWORDS = {
 # BPE-ish tokenizer regex: words / numbers / single punctuation marks
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+import string as _string
+
+#: every char of the [A-Za-z0-9\s] class, for translate()-based counting
+#: (Java \s = [ \t\n\x0B\f\r])
+_ALNUM_WS = _string.ascii_letters + _string.digits + " \t\n\x0b\x0c\r"
+
 
 def words(text: Column) -> Column:
     """Whitespace tokens, lowercased, empties removed."""
@@ -47,24 +53,48 @@ def lang_id(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """BPE-ish token count via the regex tokenizer (JVM regexp, no UDF)."""
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+    """BPE-ish token count via the regex tokenizer (JVM regexp, no UDF).
+    ``regexp_count`` (r6) counts the same non-overlapping matches as
+    ``size(regexp_extract_all(...))`` without materializing the match
+    array (one allocation-free scan instead of array-of-strings + size)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach quality-scoring features: lengths, ratios, flags."""
+    """Attach quality-scoring features: lengths, ratios, flags.
+
+    r6: the word-array pipeline (``split`` → ``filter`` → per-element
+    higher-order lambdas, interpreted per word and re-evaluated per
+    consumer expression) is replaced by single-pass ``regexp_count``
+    scans with EXACTLY equal values:
+
+    * ``n_words``: non-empty tokens of ``split(lower(t), '\\s+')`` are
+      precisely the ``\\S+`` runs of ``t`` — counting runs needs no array;
+    * ``avg_word_len`` numerator: the summed length of those lowercased
+      tokens equals the non-whitespace char count —
+      ``length(translate(t, ' \\t\\n\\x0b\\x0c\\r', ''))``, a regex-free
+      char map over exactly Java's ``\\s`` set (``lower`` is length-
+      preserving on this corpus — generator emits ASCII; the DuckDB
+      oracle twin pins equality at the checked SFs);
+    * ``n_punct`` / ``n_tokens``: match COUNTS, not match arrays.
+
+    ``stopword_ratio`` keeps the exact word-array definition (its token
+    identity can't be a bare count); Catalyst prunes it for consumers
+    that don't select it."""
     t = F.col(text_col)
-    w = words(t)
-    n_words = F.size(w)
+    n_words = F.regexp_count(t, F.lit(r"\S+"))
     n_chars = F.length(t)
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    # deleting every [A-Za-z0-9\s] char leaves exactly the punct chars —
+    # the count of '[^A-Za-z0-9\s]' matches as one regex-free char map
+    n_punct = F.length(F.translate(t, _ALNUM_WS, ""))
+    sum_word_len = F.length(F.translate(t, " \t\n\x0b\x0c\r", ""))
     sw_hits = sum((stopword_hits(t, lang) for lang in STOPWORDS), F.lit(0))
     return (
         df.withColumn("n_words", n_words)
         .withColumn("n_chars_measured", n_chars)
         .withColumn(
             "avg_word_len",
-            F.when(n_words > 0, F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)) / n_words).otherwise(F.lit(None).cast("double")),
+            F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(None).cast("double")),
         )
         .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)))
         .withColumn("stopword_ratio", F.when(n_words > 0, sw_hits / n_words).otherwise(F.lit(0.0)))
