@@ -252,30 +252,37 @@ def simhash_near_dup_pairs(
     Cost scales with band selectivity: band width = 64/(d+1) bits. d=3 →
     4×16-bit bands (cheap); large d → narrow bands → near-quadratic
     candidate sets, the honest price of an exact wide-radius contract.
+
+    All bands are keyed in ONE ``posexplode`` relation and matched by a
+    single equi-join on (band, sub-key) — r6: the previous union of
+    per-band self-joins duplicated the upstream plan 2×(d+1) times, which
+    re-ran the (Python) simhash computation on every copy; this shape
+    evaluates it once per join side and the band match set is identical
+    (same (position, value) equality).
     """
     n_bands = max_hamming + 1
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offs = [sum(widths[:i]) for i in range(n_bands)]
-    parts = [
-        F.shiftrightunsigned(F.col(sim_col), offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"p{i}")
-        for i in range(n_bands)
-    ]
-    keyed = df.select(F.col(id_col), F.col(sim_col), *parts)
-    out = None
-    for i in range(n_bands):
-        a = keyed.alias("a")
-        b = keyed.alias("b")
-        pairs = (
-            a.join(b, F.col(f"a.p{i}") == F.col(f"b.p{i}"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))).alias("hamming"),
-            )
+    parts = F.array(
+        *[
+            F.shiftrightunsigned(F.col(sim_col), offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+            for i in range(n_bands)
+        ]
+    )
+    keyed = df.select(F.col(id_col), F.col(sim_col), F.posexplode(parts).alias("band", "bkey"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))).alias("hamming"),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.filter(F.col("hamming") <= max_hamming).distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def connected_components(

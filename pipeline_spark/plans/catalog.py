@@ -814,7 +814,15 @@ def simhash_q(spark, sf):
     (d+1 bands cover d bit flips); wider radii need d+1 narrower bands."""
     from pipeline_spark.functions import simhash64_udf
 
-    d = _t(spark, sf, "documents").select("doc_id", simhash64_udf(F.col("text")).alias("simhash"))
+    # asNondeterministic: the band equi-join infers an isnotnull(bkey)
+    # constraint that the optimizer pushes BELOW the projection, cloning
+    # the (expensive, per-token-md5) Python UDF once for the filter and
+    # once for the project on each join side (guide §4.4 duplication —
+    # observed as 4 ArrowEvalPython nodes). Marking it non-deterministic
+    # forbids the clone: 2 evaluations, values unchanged.
+    d = _t(spark, sf, "documents").select(
+        "doc_id", simhash64_udf.asNondeterministic()(F.col("text")).alias("simhash")
+    )
     return D.simhash_near_dup_pairs(d, max_hamming=3)
 
 

@@ -229,9 +229,32 @@ def test_partition_layout_prune_uses_partition_filters(spark, sf_dir):
 def test_minhash_pair_generation_equi_join_only(spark, sf_dir):
     """MinHash-LSH candidate generation must join on (band, band-sig) —
     an equi-join Catalyst can hash/sort-merge — never a nested loop."""
+    from pyspark.sql import functions as F
     from pipeline_spark.operators import dedup as D
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
     plan = _plan(D.minhash_dedup_pairs(d, threshold=0.6, bands=8, rows=4, n=1))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_plan_stays_narrow(spark, sf_dir):
+    """r6 shape gate: shingling/signatures/sizes are per-row array
+    expressions, so the full MinHash+LSH pipeline reads the corpus at
+    most 4× (bucket self-join sides + two verify sides) with no
+    shingle-explode groupBy — the old shape was 7 scans / 26 Exchanges
+    and its sf-invariant plan+codegen cost dominated the bench query."""
+    plan = _plan(entry_mod.queries()["minhash_lsh_pairs"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") <= 4, plan.count("Location: InMemoryFileIndex")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count("Exchange hashpartitioning")
+
+
+def test_simhash_single_udf_eval_per_side(spark, sf_dir):
+    """r6 gates: (a) one posexploded band relation — the per-band
+    self-join union re-ran the whole upstream once per band per side;
+    (b) the expensive simhash UDF is marked non-deterministic so the
+    join's inferred isnotnull filter cannot clone it (guide §4.4 —
+    unmarked, the plan held 4 ArrowEvalPython nodes instead of 2)."""
+    plan = _plan(entry_mod.queries()["simhash_near_dups"](spark, sf_dir))
+    assert plan.count("ArrowEvalPython") <= 2, plan.count("ArrowEvalPython")
+    assert plan.count("Location: InMemoryFileIndex") <= 2
