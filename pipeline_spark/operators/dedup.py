@@ -8,10 +8,11 @@ aggregation and AQE; nothing here collects to the driver.
   via shingle self-join (the verify stage / small-scale oracle-checkable
   path).
 * :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash+LSH:
-  shingle → K min-hashes → b bands → bucket join. The 100 TB path: cost is
-  O(docs × shingles) for signatures plus a shuffle keyed on (band, band
+  per-row shingle set → K min-hashes (narrow array expressions, zero
+  shuffles) → b bands → bucket join. The 100 TB path: cost is O(docs ×
+  shingles) for signatures plus ONE shuffle keyed on (band, band
   signature); no quadratic blow-up. Candidates can then be verified with
-  exact Jaccard on the (tiny) candidate set.
+  exact Jaccard (``array_intersect``) on the (tiny) candidate set.
 * :func:`simhash_near_dup_pairs` — SimHash bucketing by 16-bit sub-keys
   (any pair within Hamming distance d<=3 shares at least one of 4 sub-keys
   — the classic pigeonhole trick), then exact Hamming check via
@@ -161,17 +162,17 @@ def lsh_candidate_pairs(
     non-reusable source or a heavy transform) and scanning it twice costs
     more than one materialization.
 
-    Cold-cost floor (round-4 profile, BENCH/experiments/minhash_cold.py):
-    in a FRESH session the 100-doc pipeline costs ~9s regardless of
-    variant — ~2.1s first-read/session init, ~1.5s Python-side plan
-    construction (hundreds of py4j Column calls for k×2 hash exprs),
-    ~0.8s analysis/physical planning, and the rest first-run codegen
-    (warm re-exec of the same plan is 0.84s vs 4.5s cold). ``"lazy"``
-    and a collect_list-based no-self-join variant move cost between the
-    build and exec columns but leave the total unchanged (9.3s / 9.6s).
-    The bench's 2.6-3.4s round-to-round swing is codegen/host variance
-    on this fixed overhead, not a data-path regression — at real scale
-    the same plan cost is amortized over the full corpus."""
+    Cold-cost floor: the plan+codegen overhead of this pipeline is
+    sf-invariant (the bench query is 100 docs), so fresh-session cost is
+    dominated by plan size. Round-4 profiling of the old
+    explode/distinct/K-min-agg shape (BENCH/experiments/minhash_cold.py)
+    measured ~9s cold regardless of checkpoint variant; the r6 array
+    rewrite (per-row shingle sets, no shingle shuffle — 26 Exchanges →
+    8, 7 scans → 4 for the full pair pipeline) cut the fresh-session
+    first run to ~4s and the warm-session first run to ~2.5-4s (warm
+    re-exec ~1.1s). Residual cold swing is codegen/host variance on the
+    remaining fixed overhead — at real scale the same plan cost is
+    amortized over the full corpus."""
     k = bands * rows
     assert all(f"mh{i}" in sigs.columns for i in range(k)), "need mh0..mh{k-1}"
     if hash_basis == "md5":

@@ -94,13 +94,19 @@ def parse_extra_conf(spec: str) -> dict[str, str]:
     Empty segments are skipped (trailing ``;`` is fine); values may
     contain ``=`` (only the first one splits); segments without ``=``
     are ignored rather than raising — a malformed profiling knob must
-    never take down a production session.
+    never take down a production session — but each ignored segment is
+    named on stderr so a typo'd A/B knob can't silently run unset
+    (round-5 ADVICE).
     """
+    import sys
+
     out: dict[str, str] = {}
     for pair in filter(None, (p.strip() for p in spec.split(";"))):
         k, eq, v = pair.partition("=")
         if eq and k.strip():
             out[k.strip()] = v.strip()
+        else:
+            print(f"pipeline_spark: ignoring malformed conf segment {pair!r}", file=sys.stderr)
     return out
 
 
