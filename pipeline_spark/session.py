@@ -85,7 +85,91 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+#: application ids whose one-time warmup already ran (getOrCreate can hand
+#: the same underlying context back any number of times)
+_WARMED: set[str] = set()
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time JIT/codegen warmup per underlying SparkContext.
+
+    A fresh JVM runs the first seconds of real work interpreted: Janino,
+    Catalyst, the parquet reader and the codegen'd operator classes are
+    compiled by the background C2 threads only as they get hot. Measured
+    on this host (interleaved A/B over the full catalog headline list,
+    local[32]): a ~2 s synthetic warmup at session build cuts the
+    first-run cost of EVERY subsequent query — list totals 18.4/20.0 s
+    cold vs 12.7/14.2 s warmed — and removes the bimodal ~9-10 s cold
+    mode of plan-heavy queries (whose inverse correlation with how long
+    the preceding work ran identified background-JIT completion, not
+    data, as the variable). Exactly the same discipline as the existing
+    Python-worker pool warmup (CLAUDE.md): pay fixed costs at session
+    BUILD, never inside a measured or user-facing first query.
+
+    The workload is the engine's own operator pipelines over a few dozen
+    rows of ``spark.range``-derived SYNTHETIC data plus a tiny tempdir
+    parquet round-trip — nothing from any data directory is touched or
+    cached, so every real query still computes from its own inputs.
+    Measured on the heaviest-plan query (minhash, sf-invariant): first
+    real run 3.9-4.5 s quiet / 9-18.8 s under compile-queue contention
+    → 1.6-2.3 s warmed. Disable with ``SPARK_GRAFT_SESSION_WARM=0``
+    (tests do, via conftest — suite speed matters more than first-query
+    latency there).
+    """
+    if os.environ.get("SPARK_GRAFT_SESSION_WARM", "1") == "0":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # The engine's own operator pipelines over a few dozen SYNTHETIC rows
+    # load/compile exactly the interpreter + join + window + HOF classes
+    # the real queries need (the same idea as bench.py warming the real
+    # extract UDF on a literal). Verified: wholeStage codegen on/off does
+    # NOT move the cold cost (9.7 s vs 9.7 s) — it is class loading and
+    # shared-infrastructure C2 work, which this prepays.
+    from pipeline_spark.operators import dedup as _D
+    from pipeline_spark.operators import similarity as _S
+
+    docs = spark.range(0, 64, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit("t"), ((F.col("id") + i) % 23).cast("string")) for i in range(12)]
+        ).alias("text"),
+    )
+    _D.minhash_dedup_pairs(docs, threshold=0.6, bands=8, rows=4, n=1).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    emb = spark.range(0, 64, 1, 4).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 16), i -> cast(1 + pmod((id + 1) * i, 97) as double) / 97.0)").alias(
+            "embedding"
+        ),
+    )
+    _S.brute_force_topk(emb, emb.filter("vec_id < 4"), k=3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # parquet writer+reader classes warm only on a real file round-trip
+    d = tempfile.mkdtemp(prefix="spark_warm_")
+    try:
+        docs.withColumn("t", F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+"))).coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        spark.read.parquet(d).filter("doc_id > 1").groupBy("t").count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def parse_extra_conf(spec: str) -> dict[str, str]:

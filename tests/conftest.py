@@ -9,6 +9,11 @@ from pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Tests build many short-lived sessions (fixtures + CLI/replay
+# subprocesses); suite speed matters more than first-query latency, so
+# the session JIT warmup is off here — subprocess children inherit it.
+os.environ.setdefault("SPARK_GRAFT_SESSION_WARM", "0")
+
 
 @pytest.fixture(scope="session")
 def spark():
