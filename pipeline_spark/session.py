@@ -170,6 +170,14 @@ def _warm_session(spark: SparkSession) -> None:
         ).mode("overwrite").save()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+    # Heap housekeeping: a session built in a JVM that just ran other
+    # Spark work (stop() + getOrCreate is the normal pattern here)
+    # inherits that work's uncollected garbage; the first
+    # allocation-heavy query then hits concurrent-GC allocation stalls
+    # (reproduced 3/3: an interpreted-HOF scoring query at 10-19 s right
+    # after a replay vs ~1.9 s in a fresh JVM). One explicit collection
+    # at build resets the heap before any user work.
+    spark._jvm.System.gc()
 
 
 def parse_extra_conf(spec: str) -> dict[str, str]:
