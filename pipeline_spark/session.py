@@ -126,7 +126,17 @@ def _warm_session(spark: SparkSession) -> None:
     if app_id in _WARMED:
         return
     _WARMED.add(app_id)
+    try:
+        _warm_session_work(spark)
+    except Exception as e:  # noqa: BLE001 — warmup is best-effort
+        # A warmup failure must NEVER take down session creation: the
+        # session is fully functional without it, just cold.
+        import sys
 
+        print(f"pipeline_spark: session warmup skipped ({e!r:.200})", file=sys.stderr)
+
+
+def _warm_session_work(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
